@@ -1,0 +1,142 @@
+"""3D convolution primitives with exact torch-semantics parity, NDHWC layout.
+
+The reference's conv workload is nn.Conv3d / nn.ConvTranspose3d / MaxPool3d
+(e.g. ``model/swin_transformer.py:438,575-585``, ``model/swin_decoder_predict.py:
+381-443,591-595``, ``model/I3D.py:8-42,66-68``).  On TPU these lower to XLA
+convolution HLOs that tile directly onto the MXU; we keep activations NDHWC
+(channels-last, the native TPU layout) and kernels DHWIO.
+
+Weight translation from torch:
+  Conv3d weight  (Cout, Cin, kd, kh, kw)   -> transpose(2, 3, 4, 1, 0)
+  ConvT3d weight (Cin, Cout, kd, kh, kw)   -> transpose(2, 3, 4, 0, 1)
+(ConvTranspose kernels are stored un-flipped; the spatial flip happens at
+apply time so the stored layout matches torch's semantics 1:1.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lax.conv_dimension_numbers(
+    (1, 1, 1, 1, 1), (1, 1, 1, 1, 1), ("NDHWC", "DHWIO", "NDHWC")
+)
+
+IntOr3 = Union[int, Sequence[int]]
+
+
+def _triple(v: IntOr3) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(int(x) for x in v)
+    assert len(t) == 3, v
+    return t  # type: ignore[return-value]
+
+
+def conv3d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: IntOr3 = 1,
+    padding: IntOr3 = 0,
+    preferred_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """torch.nn.Conv3d semantics. x: (B, D, H, W, C); w: (kd, kh, kw, Cin, Cout)."""
+    s = _triple(stride)
+    p = _triple(padding)
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=s,
+        padding=[(pi, pi) for pi in p],
+        dimension_numbers=_DN,
+        preferred_element_type=preferred_dtype,
+    )
+    out = out.astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def conv_transpose3d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: IntOr3 = 1,
+    padding: IntOr3 = 0,
+    preferred_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """torch.nn.ConvTranspose3d semantics (output_padding=0).
+
+    out_size = (in - 1) * stride - 2 * padding + kernel.  Implemented as the
+    mathematically identical fractionally-strided convolution: dilate the
+    input by ``stride`` (lhs_dilation), pad each dim by (k-1-p), convolve with
+    the spatially-flipped kernel.  w: (kd, kh, kw, Cin, Cout) stored unflipped
+    (matching torch's (Cin, Cout, k...) up to layout).
+    """
+    s = _triple(stride)
+    p = _triple(padding)
+    k = w.shape[:3]
+    pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i]) for i in range(3)]
+    w_flipped = jnp.flip(w, axis=(0, 1, 2))
+    out = lax.conv_general_dilated(
+        x,
+        w_flipped.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=pads,
+        lhs_dilation=s,
+        dimension_numbers=_DN,
+        preferred_element_type=preferred_dtype,
+    )
+    out = out.astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def same_pad_amounts(size: int, kernel: int, stride: int) -> Tuple[int, int]:
+    """TF-style 'same' padding split, exactly as MaxPool3dSamePadding computes
+    it (``model/I3D.py:10-39``): total = k - s if evenly divisible else
+    k - (size % s), clamped at 0, front = total // 2."""
+    if size % stride == 0:
+        total = max(kernel - stride, 0)
+    else:
+        total = max(kernel - (size % stride), 0)
+    front = total // 2
+    return front, total - front
+
+
+def max_pool3d_same(
+    x: jax.Array, kernel: IntOr3 = 3, stride: IntOr3 = 1
+) -> jax.Array:
+    """MaxPool3dSamePadding parity (``model/I3D.py:8-42``).
+
+    NOTE the reference pads with **zeros** (F.pad default) before max-pooling,
+    not -inf — with GELU activations this changes boundary values, so we
+    reproduce the zero-padding faithfully.
+    """
+    k = _triple(kernel)
+    s = _triple(stride)
+    _, D, H, W, _ = x.shape
+    pads = [
+        same_pad_amounts(D, k[0], s[0]),
+        same_pad_amounts(H, k[1], s[1]),
+        same_pad_amounts(W, k[2], s[2]),
+    ]
+    x = jnp.pad(
+        x,
+        ((0, 0), pads[0], pads[1], pads[2], (0, 0)),
+        mode="constant",
+        constant_values=0.0,
+    )
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, *k, 1),
+        window_strides=(1, *s, 1),
+        padding="VALID",
+    ).astype(x.dtype)

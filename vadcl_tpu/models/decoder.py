@@ -1,0 +1,151 @@
+"""Mirrored Swin + Inception decoder with reconstruction / prediction modes.
+
+Capability parity with ``model/swin_decoder_predict.py:479-632``:
+
+* ``timedebd`` temporal head switch (``:591-595``): prediction mode collapses
+  the latent time axis with Conv3d k=s=(2,1,1) (emits ONE future frame);
+  reconstruction mode expands it with ConvTranspose3d k=s=(2,1,1);
+* two stages of depths (6, 3) / heads (12, 6) at dims (192, 96) with the same
+  ``attn + attn*conv + x`` fusion (``:615-619``);
+* one UpSampling between stages: ConvTranspose3d(1,2,2) halving channels +
+  GELU (``:431-443``);
+* final LayerNorm + PatchDebed3D undoing the 4x4 spatial patchify:
+  ConvT(3,2,2)s(1,2,2) -> GELU -> Conv3d(3,3,3) -> GELU -> ConvT(3,2,2)s(1,2,2)
+  (``:381-427``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vadcl_tpu.models.encoder import inception_channels
+from vadcl_tpu.models.layers import (
+    Conv3d,
+    ConvTranspose3d,
+    InceptionModule,
+    gelu,
+    layer_norm,
+)
+from vadcl_tpu.models.swin import SwinStage
+
+
+class UpSampling(nn.Module):
+    """ConvTranspose3d(1,2,2) stride (1,2,2) halving channels, + GELU
+    (``model/swin_decoder_predict.py:431-443``)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvTranspose3d(
+            self.dim // 2,
+            kernel_size=(1, 2, 2),
+            stride=(1, 2, 2),
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        return gelu(x)
+
+
+class PatchDebed3D(nn.Module):
+    """Inverse patchify (``model/swin_decoder_predict.py:381-427``)."""
+
+    dtype: jnp.dtype = jnp.float32
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        x = ConvTranspose3d(
+            2 * c, (3, 2, 2), stride=(1, 2, 2), padding=(1, 0, 0),
+            dtype=self.dtype, name="deconv1",
+        )(x)
+        x = gelu(x)
+        x = Conv3d(
+            c, (3, 3, 3), stride=(1, 1, 1), padding=(1, 1, 1),
+            dtype=self.dtype, name="conv",
+        )(x)
+        x = gelu(x)
+        x = ConvTranspose3d(
+            self.out_channels, (3, 2, 2), stride=(1, 2, 2), padding=(1, 0, 0),
+            dtype=self.dtype, name="deconv2",
+        )(x)
+        return x
+
+
+class SwinDecoder3D(nn.Module):
+    in_chans: int = 192
+    depths: Sequence[int] = (6, 3)
+    num_heads: Sequence[int] = (12, 6)
+    window_size: Tuple[int, int, int] = (8, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    predict: bool = False
+    out_channels: int = 3
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        """x: (B, D, H, W, in_chans) latent -> (B, D_out, H*8, W*8, 3) frames.
+
+        D_out = D/2 (predict) or D*2 (reconstruction) for the (2,x,x) temporal
+        head; with the flagship frame_num=4 config, D=2 -> 1 or 4.
+        """
+        if self.predict:
+            x = Conv3d(
+                self.in_chans, (2, 1, 1), stride=(2, 1, 1),
+                dtype=self.dtype, name="timedebd",
+            )(x)
+        else:
+            x = ConvTranspose3d(
+                self.in_chans, (2, 1, 1), stride=(2, 1, 1),
+                dtype=self.dtype, name="timedebd",
+            )(x)
+
+        total = sum(self.depths)
+        dpr = [
+            self.drop_path_rate * i / max(total - 1, 1) for i in range(total)
+        ]
+        num_layers = len(self.depths)
+        for i in range(num_layers):
+            dim = self.in_chans // (2**i)
+            conv_x = InceptionModule(
+                out_channels=inception_channels(dim),
+                dtype=self.dtype,
+                name=f"inception{i}",
+            )(x)
+            attn_x = SwinStage(
+                dim=dim,
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_size,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=tuple(
+                    dpr[sum(self.depths[:i]) : sum(self.depths[: i + 1])]
+                ),
+                remat=self.remat,
+                dtype=self.dtype,
+                name=f"stage{i}",
+            )(x, deterministic)
+            # fusion identical to the encoder (swin_decoder_predict.py:616-619)
+            x = attn_x + conv_x * attn_x + x
+            if i < num_layers - 1:
+                x = UpSampling(dim, dtype=self.dtype, name=f"upsample{i}")(x)
+
+        x = layer_norm(dtype=self.dtype, name="norm")(x)
+        x = PatchDebed3D(
+            dtype=self.dtype, out_channels=self.out_channels, name="patchdebed"
+        )(x)
+        return x

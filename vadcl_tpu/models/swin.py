@@ -1,0 +1,241 @@
+"""Video Swin 3D blocks (flax.linen), NDHWC.
+
+Capability parity with the reference Swin machinery
+(``model/swin_transformer.py:87-418`` and its duplicate in
+``model/swin_decoder_predict.py:13-375``), rebuilt with the window math from
+``vadcl_tpu.ops.window``: shift masks and relative-position indices are static
+host constants, padding/rolling/partitioning are free reshapes under XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vadcl_tpu.models.layers import DropPath, Mlp, layer_norm, torch_weight_init
+from vadcl_tpu.ops.convs import conv3d
+from vadcl_tpu.ops.window import (
+    compute_attn_mask,
+    get_window_size,
+    relative_position_index,
+    window_attention,
+    window_partition,
+    window_reverse,
+)
+
+Tri = Tuple[int, int, int]
+
+
+class WindowAttention3D(nn.Module):
+    """W-MSA with relative position bias (``model/swin_transformer.py:87-171``).
+
+    ``window_size`` here is the *configured* window (e.g. (8, 7, 7)); the bias
+    table is sized for it and the (N, N) index is sliced when the runtime
+    window is smaller — exactly the reference's ``[:N, :N]`` behavior.
+    """
+
+    dim: int
+    window_size: Tri
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_windows, mask: Optional[np.ndarray] = None,
+                 deterministic: bool = True):
+        wd, wh, ww = self.window_size
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), self.num_heads),
+            jnp.float32,
+        )
+        qkv_w = self.param(
+            "qkv_kernel", torch_weight_init, (self.dim, 3 * self.dim), jnp.float32
+        )
+        qkv_b = (
+            self.param("qkv_bias", nn.initializers.zeros, (3 * self.dim,), jnp.float32)
+            if self.qkv_bias
+            else None
+        )
+        proj_w = self.param(
+            "proj_kernel", torch_weight_init, (self.dim, self.dim), jnp.float32
+        )
+        proj_b = self.param(
+            "proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+        rel_index = relative_position_index(self.window_size)
+        out = window_attention(
+            x_windows.astype(self.dtype),
+            qkv_w,
+            qkv_b,
+            proj_w,
+            proj_b,
+            table,
+            rel_index,
+            self.num_heads,
+            mask=mask,
+            scale=self.qk_scale,
+        )
+        # attn_drop is inside the fused op's softmax path in the reference;
+        # live rate is 0 — proj dropout kept for capability parity.
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class SwinBlock3D(nn.Module):
+    """One Swin block: (shifted) window attention + MLP with residuals
+    (``model/swin_transformer.py:174-277``)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tri = (2, 7, 7)
+    shift_size: Tri = (0, 0, 0)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, D, H, W, C = x.shape
+        window_size, shift_size = get_window_size(
+            (D, H, W), self.window_size, self.shift_size
+        )
+
+        shortcut = x
+        y = layer_norm(dtype=self.dtype, name="norm1")(x)
+        # pad to window multiples (trailing edges, like F.pad in :222-226)
+        pad_d = (-D) % window_size[0]
+        pad_h = (-H) % window_size[1]
+        pad_w = (-W) % window_size[2]
+        if pad_d or pad_h or pad_w:
+            y = jnp.pad(y, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        _, Dp, Hp, Wp, _ = y.shape
+
+        if any(s > 0 for s in shift_size):
+            y = jnp.roll(
+                y, shift=(-shift_size[0], -shift_size[1], -shift_size[2]),
+                axis=(1, 2, 3),
+            )
+            attn_mask = compute_attn_mask(Dp, Hp, Wp, window_size, shift_size)
+        else:
+            attn_mask = None
+
+        wins = window_partition(y, window_size)
+        wins = WindowAttention3D(
+            dim=C,
+            window_size=self.window_size,  # configured size; index sliced to N
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(wins, mask=attn_mask, deterministic=deterministic)
+        y = window_reverse(wins, window_size, B, Dp, Hp, Wp)
+
+        if any(s > 0 for s in shift_size):
+            y = jnp.roll(y, shift=shift_size, axis=(1, 2, 3))
+        if pad_d or pad_h or pad_w:
+            y = y[:, :D, :H, :W, :]
+
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            y, deterministic=deterministic
+        )
+        z = layer_norm(dtype=self.dtype, name="norm2")(x)
+        z = Mlp(
+            hidden_features=int(C * self.mlp_ratio),
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(z, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            z, deterministic=deterministic
+        )
+        return x
+
+
+class SwinStage(nn.Module):
+    """A stack of Swin blocks with alternating shift (BasicLayer parity,
+    ``model/swin_transformer.py:336-418``; downsampling is external, as the
+    reference disables PatchMerging at ``:546``)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: Tri = (8, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Sequence[float] = (0.0,)
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        shift = tuple(w // 2 for w in self.window_size)
+        dp = list(self.drop_path)
+        if len(dp) == 1:
+            dp = dp * self.depth
+        block_cls = SwinBlock3D
+        if self.remat:
+            block_cls = nn.remat(SwinBlock3D, static_argnums=(2,))
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=(0, 0, 0) if i % 2 == 0 else shift,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path=dp[i],
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, deterministic)
+        return x
+
+
+class PatchEmbed3D(nn.Module):
+    """Video-to-patch embedding: pad to patch multiples then
+    Conv3d(k=s=patch_size) (``model/swin_transformer.py:421-462``)."""
+
+    patch_size: Tri = (2, 4, 4)
+    embed_dim: int = 96
+    use_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        pd, ph, pw = self.patch_size
+        pad = ((0, 0), (0, (-D) % pd), (0, (-H) % ph), (0, (-W) % pw), (0, 0))
+        if any(p[1] for p in pad):
+            x = jnp.pad(x, pad)
+        w = self.param(
+            "kernel",
+            torch_weight_init,
+            (pd, ph, pw, C, self.embed_dim),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
+        x = conv3d(x.astype(self.dtype), w, b, stride=self.patch_size)
+        if self.use_norm:
+            x = layer_norm(dtype=self.dtype, name="norm")(x)
+        return x

@@ -1,0 +1,127 @@
+"""Eval-layer tests: PSNR/anomaly formulas, AUC vs sklearn, protocols, and an
+end-to-end scoring run with a synthetic scorer."""
+
+import math
+
+import numpy as np
+from sklearn.metrics import roc_auc_score
+
+from vadcl_tpu.eval.predict import evaluate_videos, score_video, sliding_windows
+from vadcl_tpu.eval.scoring import anomaly_score, psnr, roc_auc
+
+
+def test_psnr_formula():
+    """misc/utils.py:124-128."""
+    mse = np.array([0.01, 0.5, 1.0])
+    got = psnr(mse)
+    want = [10 * math.log10(1.0 / m) for m in mse]
+    np.testing.assert_allclose(got, want)
+
+
+def test_anomaly_score_formula():
+    """misc/utils.py:131-135: 1 - minmax, per video."""
+    p = np.array([30.0, 20.0, 25.0])
+    got = anomaly_score(p)
+    np.testing.assert_allclose(got, [0.0, 1.0, 0.5])
+
+
+def test_roc_auc_matches_sklearn():
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        labels = rng.randint(0, 2, 200)
+        if labels.sum() in (0, 200):
+            labels[0] = 1 - labels[0]
+        scores = np.round(rng.rand(200), 2)  # rounding forces ties
+        np.testing.assert_allclose(
+            roc_auc(labels, scores), roc_auc_score(labels, scores), rtol=1e-12
+        )
+
+
+def test_sliding_windows_reference_bounds():
+    """Loop bound is start + frame_num < T strictly (main_predict.py:401)."""
+    assert sliding_windows(24, 4, "stride1") == list(range(20))
+    assert sliding_windows(24, 4, "nonoverlap") == [0, 4, 8, 12, 16]
+    assert sliding_windows(4, 4, "stride1") == []
+    assert sliding_windows(5, 4, "stride1") == [0]
+
+
+def _constant_scorer(mse_by_window):
+    def scorer(windows):
+        return mse_by_window(windows)
+
+    return scorer
+
+
+def test_score_video_predict_alignment():
+    """Predict mode: one score per window, labeled frame start+frame_num."""
+    T, F = 12, 4
+    frames = np.zeros((T, 8, 8, 3), np.float32)
+    labels = np.arange(T)
+
+    def mse_fn(windows):
+        return np.arange(windows.shape[0], dtype=np.float64) + 1.0
+
+    mse, lab = score_video(mse_fn, frames, labels, F, predict=True, protocol="stride1")
+    assert mse.shape == (T - F,)
+    np.testing.assert_array_equal(lab, labels[F:])
+
+
+def test_score_video_recon_alignment():
+    T, F = 12, 4
+    frames = np.zeros((T, 8, 8, 3), np.float32)
+    labels = np.arange(T)
+
+    def mse_fn(windows):
+        return np.ones((windows.shape[0], F), np.float64)
+
+    mse, lab = score_video(mse_fn, frames, labels, F, predict=False, protocol="nonoverlap")
+    starts = [0, 4]
+    assert mse.shape == (len(starts) * F,)
+    np.testing.assert_array_equal(
+        lab, np.concatenate([labels[s : s + F] for s in starts])
+    )
+
+
+def test_evaluate_videos_perfect_detector():
+    """A scorer with high MSE on labeled-anomalous frames must reach AUC 1
+    per scene and mean 1."""
+    T, F = 20, 4
+    rng = np.random.RandomState(0)
+
+    def make_video(scene):
+        frames = rng.rand(T, 8, 8, 3).astype(np.float32)
+        labels = np.zeros(T, np.int64)
+        labels[10:15] = 1
+        return frames, labels, scene
+
+    videos = [make_video("01"), make_video("02")]
+    label_lookup = {}
+    for frames, labels, scene in videos:
+        label_lookup[frames.tobytes()[:64]] = labels
+
+    def mse_fn_factory(labels):
+        def mse_fn(windows):
+            # one score per window: anomalous target frames get huge MSE
+            n = windows.shape[0]
+            return np.array(
+                [10.0 if labels[s + F] else 0.01 for s, _ in zip(range(n), range(n))]
+            )
+
+        return mse_fn
+
+    # simpler: iterate manually to keep labels in scope
+    from vadcl_tpu.eval.scoring import per_scene_auc, mean_scene_auc
+    from vadcl_tpu.eval.predict import VideoScores
+    from vadcl_tpu.eval.scoring import psnr as _psnr, anomaly_score as _an
+
+    scene_scores, scene_labels = {}, {}
+    for frames, labels, scene in videos:
+        mse_fn = mse_fn_factory(labels)
+        mse, lab = score_video(mse_fn, frames, labels, F, True, "stride1")
+        s = _an(_psnr(mse))
+        scene_scores.setdefault(scene, np.zeros(0))
+        scene_labels.setdefault(scene, np.zeros(0, np.int64))
+        scene_scores[scene] = np.append(scene_scores[scene], s)
+        scene_labels[scene] = np.append(scene_labels[scene], lab)
+    aucs = per_scene_auc(scene_scores, scene_labels)
+    assert mean_scene_auc(aucs) == 1.0

@@ -1,0 +1,165 @@
+"""Training-layer tests: torch-Adam parity, cosine schedule, staged gating,
+loss semantics, overfit smoke, and 8-device data-parallel equivalence."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vadcl_tpu.core.config import ClusterConfig, Config, DataConfig, ModelConfig, OptimConfig, ScheduleConfig
+from vadcl_tpu.core.mesh import make_mesh
+from vadcl_tpu.models.backbone import VADModel
+from vadcl_tpu.train.optim import cosine_epoch_lr, param_gate_thresholds, torch_adam
+from vadcl_tpu.train.step import create_train_state, make_train_step, split_predict_batch
+
+TINY_MODEL = ModelConfig(
+    embed_dim=32,
+    encoder_depths=(1, 1),
+    encoder_heads=(2, 4),
+    decoder_depths=(1, 1),
+    decoder_heads=(4, 2),
+    cluster=ClusterConfig(feature_clusters=16, space_clusters=8, space_size=7),
+)
+TINY = Config(
+    model=TINY_MODEL,
+    data=DataConfig(frame_num=4, image_size=(56, 56)),
+    optim=OptimConfig(lr=1e-3, min_lr=1e-5, epochs=10, weight_decay=0.02),
+    batch_size_per_device=2,
+)
+
+
+def test_torch_adam_matches_torch():
+    """Our Adam must track torch.optim.Adam(lr, weight_decay) step for step."""
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    target = rng.randn(4, 3).astype(np.float32)
+
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    topt = torch.optim.Adam([tw], lr=1e-2, weight_decay=0.02)
+    params = {"w": jnp.asarray(w0)}
+    tx = torch_adam(1e-2, weight_decay=0.02)
+    opt_state = tx.init(params)
+
+    def loss_j(p):
+        return jnp.sum((p["w"] - target) ** 2)
+
+    for step in range(20):
+        topt.zero_grad()
+        tl = ((tw - torch.tensor(target)) ** 2).sum()
+        tl.backward()
+        topt.step()
+
+        g = jax.grad(loss_j)(params)
+        upd, opt_state = tx.update(
+            g, opt_state, params, step=jnp.asarray(step, jnp.int32)
+        )
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_torch_adam_gating_freezes_exactly():
+    params = {"cluster_center": jnp.ones((3,)), "other": jnp.ones((3,))}
+    gates = param_gate_thresholds(params, cluster_start_iter=3)
+    tx = torch_adam(1e-2, weight_decay=0.02, gate_thresholds=gates)
+    st = tx.init(params)
+    g = {"cluster_center": jnp.ones((3,)), "other": jnp.ones((3,))}
+    hist = []
+    for step in range(5):
+        upd, st = tx.update(g, st, params, step=jnp.asarray(step, jnp.int32))
+        hist.append(jax.tree_util.tree_map(np.asarray, upd))
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    for step in range(3):
+        assert np.all(hist[step]["cluster_center"] == 0.0), step
+        assert np.any(hist[step]["other"] != 0.0), step
+    assert np.any(hist[3]["cluster_center"] != 0.0)
+    # bias correction restarts at the unfreeze (per-leaf count), so the first
+    # unfrozen update has the same magnitude as a fresh Adam first step
+    np.testing.assert_allclose(
+        np.abs(hist[3]["cluster_center"]), np.abs(hist[0]["other"]), rtol=1e-4
+    )
+
+
+def test_cosine_epoch_lr_formula():
+    sched = cosine_epoch_lr(6e-6, 1e-6, 120, steps_per_epoch=100)
+    # epoch 0 -> base lr; epoch 120 -> min lr; stepped per epoch
+    np.testing.assert_allclose(float(sched(jnp.asarray(0))), 6e-6, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(50))), 6e-6, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(sched(jnp.asarray(120 * 100))), 1e-6, rtol=1e-6
+    )
+    e60 = 1e-6 + 0.5 * (6e-6 - 1e-6) * (1 + np.cos(np.pi * 60 / 120))
+    np.testing.assert_allclose(float(sched(jnp.asarray(60 * 100))), e60, rtol=1e-6)
+
+
+def test_split_predict_batch():
+    clip = jnp.arange(2 * 6 * 1 * 1 * 1, dtype=jnp.float32).reshape(2, 6, 1, 1, 1)
+    inp, tgt = split_predict_batch(clip, 4, True)
+    assert inp.shape == (2, 4, 1, 1, 1)
+    assert tgt.shape == (2, 1, 1, 1, 1)
+    # target is the LAST INPUT frame (the reference's overlap quirk,
+    # main_predict.py:234-241 with frame_num=4)
+    np.testing.assert_array_equal(np.asarray(tgt[:, 0]), np.asarray(inp[:, -1]))
+    inp2, tgt2 = split_predict_batch(clip, 4, False)
+    assert inp2.shape == tgt2.shape == clip.shape
+
+
+@pytest.mark.parametrize("predict", [False, True])
+def test_train_step_reduces_loss(predict):
+    cfg = dataclasses.replace(
+        TINY, model=dataclasses.replace(TINY_MODEL, predict=predict)
+    )
+    model = VADModel(config=cfg.model)
+    clip = jnp.asarray(
+        np.random.RandomState(0).rand(2, 4, 56, 56, 3), jnp.float32
+    )
+    state, tx = create_train_state(
+        model, cfg, jax.random.key(0), clip, steps_per_epoch=10
+    )
+    step = make_train_step(model, cfg, tx, steps_per_epoch=10)
+    losses = []
+    for _ in range(12):
+        state, m = step(state, clip)
+        losses.append(float(m.loss))
+        assert bool(m.grad_finite)
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 12
+
+
+def test_train_step_dp_matches_single_device():
+    """8-virtual-device DP step == single-device step on the same global batch."""
+    cfg = TINY
+    model = VADModel(config=cfg.model)
+    clip = jnp.asarray(
+        np.random.RandomState(1).rand(8, 4, 56, 56, 3), jnp.float32
+    )
+    state, tx = create_train_state(
+        model, cfg, jax.random.key(0), clip, steps_per_epoch=10
+    )
+    step_single = make_train_step(model, cfg, tx, steps_per_epoch=10)
+    s1, m1 = step_single(state, clip)
+
+    mesh = make_mesh(8)
+    state2, _ = create_train_state(
+        model, cfg, jax.random.key(0), clip, steps_per_epoch=10
+    )
+    step_dp = make_train_step(model, cfg, tx, steps_per_epoch=10, mesh=mesh)
+    s2, m2 = step_dp(state2, clip)
+
+    np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        # Adam's first-step update is +-lr * sign(g); reduction-order noise in
+        # the sharded all-reduce can flip the sign on near-zero-gradient
+        # elements, so individual params can differ by up to 2*lr.  The strict
+        # DP-equivalence check is the bitwise-close loss above; here we bound
+        # the param drift to the +-2*lr envelope.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2.5 * cfg.optim.lr
+        )

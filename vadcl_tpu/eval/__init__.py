@@ -1,0 +1,23 @@
+from vadcl_tpu.eval.scoring import (
+    anomaly_score,
+    per_scene_auc,
+    psnr,
+    roc_auc,
+)
+from vadcl_tpu.eval.predict import (
+    VideoScores,
+    evaluate_videos,
+    make_window_scorer,
+    sliding_windows,
+)
+
+__all__ = [
+    "anomaly_score",
+    "per_scene_auc",
+    "psnr",
+    "roc_auc",
+    "VideoScores",
+    "evaluate_videos",
+    "make_window_scorer",
+    "sliding_windows",
+]

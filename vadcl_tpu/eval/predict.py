@@ -1,0 +1,148 @@
+"""Sliding-window video evaluation driving PSNR -> anomaly score -> AUC.
+
+Implements the reference's three scoring protocols (SURVEY §3.3):
+
+* ``stride1``    — windows at every frame (``tool/predict_evaluae.py:191-203``,
+  ``main_predict.py:401-404``)
+* ``nonoverlap`` — windows every ``frame_num`` frames
+  (``tool/evaluate.py:166-169``, ``tool/contrast_evaluae.py:185-209``)
+
+Score semantics per window (``tool/contrast_evaluae.py:228-258``):
+prediction mode scores the single predicted frame against the true last frame,
+labeled by frame index ``start + frame_num``; reconstruction mode scores every
+frame, labeled frame-by-frame.  (``main_predict.py:415-420`` instead compares
+the prediction against the *first* input frame — a quirk of that embedded
+tester, selectable as ``stride1_first_frame``.)
+
+Windows batch onto the device with static shapes (ragged video lengths are
+handled by padding the last batch and masking), the per-frame MSE reduction
+runs on device, and the per-video min-max normalization + per-scene AUC run on
+host exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vadcl_tpu.eval.scoring import anomaly_score, mean_scene_auc, per_scene_auc, psnr
+
+
+class VideoScores(NamedTuple):
+    scores: np.ndarray  # per-frame anomaly scores for the scored frames
+    labels: np.ndarray  # matching ground-truth labels
+    scene: str
+
+
+def sliding_windows(
+    num_frames: int, frame_num: int, protocol: str
+) -> List[int]:
+    """Window start indices.  Both protocols keep the reference's loop bound
+    ``start + frame_num < num_frames`` (strictly less — the final possible
+    window is dropped, faithfully)."""
+    stride = 1 if protocol.startswith("stride1") else frame_num
+    return list(range(0, max(num_frames - frame_num, 0), stride))
+
+
+def make_window_scorer(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    frame_num: int,
+    predict: bool,
+    batch_windows: int,
+    first_frame_quirk: bool = False,
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Build a jitted scorer: (batch_windows, frame_num, H, W, C) float clip
+    windows -> per-frame MSE, shape (batch_windows,) in predict mode or
+    (batch_windows, frame_num) in recon mode.
+
+    ``apply_fn(clips) -> recon`` is the model forward (already bound to
+    params); it receives the full ``frame_num``-frame window, matching
+    training (``tool/contrast_evaluae.py:205-208``).
+    """
+
+    @jax.jit
+    def score(clips: jax.Array) -> jax.Array:
+        recon = apply_fn(clips).astype(jnp.float32)
+        clips32 = clips.astype(jnp.float32)
+        if predict:
+            target = (
+                clips32[:, 0:1] if first_frame_quirk else clips32[:, -1:]
+            )
+            err = (recon - target) ** 2
+            return jnp.mean(err, axis=(1, 2, 3, 4))
+        err = (recon - clips32) ** 2
+        return jnp.mean(err, axis=(2, 3, 4))
+
+    def run(windows: np.ndarray) -> np.ndarray:
+        n = windows.shape[0]
+        pad = (-n) % batch_windows
+        if pad:
+            windows = np.concatenate(
+                [windows, np.repeat(windows[-1:], pad, axis=0)], axis=0
+            )
+        outs = []
+        for i in range(0, windows.shape[0], batch_windows):
+            outs.append(np.asarray(score(jnp.asarray(windows[i : i + batch_windows]))))
+        out = np.concatenate(outs, axis=0)
+        return out[:n]
+
+    return run
+
+
+def score_video(
+    scorer: Callable[[np.ndarray], np.ndarray],
+    frames: np.ndarray,  # (T, H, W, C) float in [0, 1]
+    labels: np.ndarray,  # (T,) int
+    frame_num: int,
+    predict: bool,
+    protocol: str = "stride1",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-frame (mse-derived) scores + aligned labels for one whole video."""
+    starts = sliding_windows(frames.shape[0], frame_num, protocol)
+    if not starts:
+        return np.zeros((0,)), np.zeros((0,), np.int64)
+    windows = np.stack([frames[s : s + frame_num] for s in starts])
+    mse = scorer(windows)
+    labels = np.asarray(labels).ravel()
+    if predict:
+        frame_mse = mse.ravel()
+        frame_labels = np.array([labels[s + frame_num] for s in starts])
+    else:
+        frame_mse = mse.reshape(-1)
+        frame_labels = np.concatenate(
+            [labels[s : s + frame_num] for s in starts]
+        )
+    return frame_mse, frame_labels
+
+
+def evaluate_videos(
+    scorer: Callable[[np.ndarray], np.ndarray],
+    videos: Iterable[Tuple[np.ndarray, np.ndarray, str]],
+    frame_num: int,
+    predict: bool,
+    protocol: str = "stride1",
+) -> Tuple[float, Dict[str, float], List[VideoScores]]:
+    """Full eval: per-video PSNR -> min-max anomaly score, grouped by scene,
+    AUC per scene, mean over scenes (``tool/contrast_evaluae.py:258-299``)."""
+    scene_scores: Dict[str, np.ndarray] = {}
+    scene_labels: Dict[str, np.ndarray] = {}
+    per_video: List[VideoScores] = []
+    for frames, labels, scene in videos:
+        frame_mse, frame_labels = score_video(
+            scorer, frames, labels, frame_num, predict, protocol
+        )
+        if frame_mse.size == 0:
+            continue
+        scores = anomaly_score(psnr(frame_mse))
+        per_video.append(VideoScores(scores=scores, labels=frame_labels, scene=scene))
+        if scene in scene_scores:
+            scene_scores[scene] = np.append(scene_scores[scene], scores)
+            scene_labels[scene] = np.append(scene_labels[scene], frame_labels)
+        else:
+            scene_scores[scene] = scores
+            scene_labels[scene] = frame_labels
+    aucs = per_scene_auc(scene_scores, scene_labels)
+    return mean_scene_auc(aucs), aucs, per_video

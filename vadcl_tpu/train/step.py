@@ -1,0 +1,208 @@
+"""The jitted training step: forward, staged losses, torch-Adam update, DP.
+
+Loss parity with ``main_predict.py:273-284``:
+  loss = ||(recon - target)^2||_F  +  mean(cluster_loss)  +  space_loss
+(the pixel term is the Frobenius norm of the *elementwise squared error* —
+``torch.norm(MSELoss(reduction='none')(...))`` — reproduced exactly), with the
+predict-mode frame split of ``main_predict.py:234-241`` (input = first
+``frame_num`` frames, target = the last input frame).
+
+Staged-training flips (``main_predict.py:244-257``) are step-gated weights
+inside one compiled function: cluster losses activate at
+``cluster_start_iter``; cluster parameters unfreeze at
+``cluster_train_start_iter`` (torch-Adam gates).
+
+Data parallelism: the batch is sharded over the 'data' mesh axis and params
+are replicated; XLA inserts the gradient all-reduce over ICI (the TPU-native
+replacement for DDP+gloo, SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vadcl_tpu.core.config import Config
+from vadcl_tpu.models.backbone import VADModel
+from vadcl_tpu.ops.cluster import frobenius_norm
+from vadcl_tpu.train.optim import (
+    cosine_epoch_lr,
+    param_gate_thresholds,
+    torch_adam,
+)
+
+
+class TrainState(NamedTuple):
+    step: jax.Array  # scalar int32
+    params: Any
+    batch_stats: Any  # frozen-BN stats collection (constant unless loaded)
+    opt_state: Any
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array
+    loss_pixel: jax.Array
+    cluster_loss: jax.Array
+    space_loss: jax.Array
+    lr: jax.Array
+    grad_finite: jax.Array  # non-finite-loss guard (main_predict.py:304-306)
+
+
+def split_predict_batch(
+    clip: jax.Array, frame_num: int, predict: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """main_predict.py:234-241: predict mode feeds the first ``frame_num``
+    frames and targets the LAST of them (the reference's quirky overlap —
+    video[:, :, -1:] with video[:, :, 0:frame_num] both covering frame
+    frame_num-1 — is preserved); recon mode targets the full clip."""
+    if predict:
+        return clip[:, :frame_num], clip[:, frame_num - 1 : frame_num]
+    return clip, clip
+
+
+def make_loss_fn(model: VADModel, cfg: Config):
+    sched = cfg.schedule
+
+    def loss_fn(params, batch_stats, clip, step):
+        inputs, target = split_predict_batch(
+            clip, cfg.data.frame_num, cfg.model.predict
+        )
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            inputs,
+            deterministic=True,
+        )
+        err = out.recon.astype(jnp.float32) - target.astype(jnp.float32)
+        loss_pixel = frobenius_norm(err * err)
+        cluster_gate = (step >= sched.cluster_start_iter).astype(jnp.float32)
+        cluster_loss = out.cluster_loss * cluster_gate
+        space_loss = out.space_loss * cluster_gate
+        loss = (
+            sched.recon_weight * loss_pixel
+            + sched.cluster_weight * cluster_loss
+            + sched.space_weight * space_loss
+        )
+        return loss, (loss_pixel, cluster_loss, space_loss)
+
+    return loss_fn
+
+
+def create_train_state(
+    model: VADModel,
+    cfg: Config,
+    rng: jax.Array,
+    sample_clip: jax.Array,
+    steps_per_epoch: int,
+) -> Tuple[TrainState, Any]:
+    """Initialize params + torch-Adam state; returns (state, tx)."""
+    inputs, _ = split_predict_batch(
+        sample_clip, cfg.data.frame_num, cfg.model.predict
+    )
+    # jit the init: eager init dispatches each op separately, which is
+    # painfully slow through a remote-TPU tunnel
+    variables = jax.jit(model.init)(rng, inputs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    lr = cosine_epoch_lr(
+        cfg.optim.lr,
+        cfg.optim.min_lr,
+        cfg.optim.epochs,
+        steps_per_epoch,
+        cfg.optim.warmup_epochs,
+    )
+    gates = param_gate_thresholds(
+        params, cluster_start_iter=cfg.schedule.cluster_train_start_iter
+    )
+    tx = torch_adam(
+        lr,
+        weight_decay=cfg.optim.weight_decay,
+        b1=cfg.optim.b1,
+        b2=cfg.optim.b2,
+        eps=cfg.optim.eps,
+        gate_thresholds=gates,
+    )
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+    return state, tx
+
+
+def make_train_step(
+    model: VADModel,
+    cfg: Config,
+    tx,
+    steps_per_epoch: int,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, StepMetrics]]:
+    """Build the jitted train step.  With a mesh, the clip batch is sharded
+    over 'data' and everything else replicated; XLA emits the grad all-reduce."""
+    loss_fn = make_loss_fn(model, cfg)
+    lr_sched = cosine_epoch_lr(
+        cfg.optim.lr,
+        cfg.optim.min_lr,
+        cfg.optim.epochs,
+        steps_per_epoch,
+        cfg.optim.warmup_epochs,
+    )
+
+    def step_fn(state: TrainState, clip: jax.Array):
+        (loss, (lp, lc, ls)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, clip, state.step
+        )
+        finite = jnp.isfinite(loss)
+        if cfg.optim.clip_grad > 0:
+            gnorm = optax_global_norm(grads)
+            scale = jnp.minimum(1.0, cfg.optim.clip_grad / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, new_opt = tx.update(
+            grads, state.opt_state, state.params, step=state.step
+        )
+        # non-finite guard: hold the params if the loss exploded (the
+        # reference aborts; we skip the update and surface the flag)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: jnp.where(finite, p + u, p), state.params, updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=state.batch_stats,
+            opt_state=jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_opt, state.opt_state
+            ),
+        )
+        metrics = StepMetrics(
+            loss=loss,
+            loss_pixel=lp,
+            cluster_loss=lc,
+            space_loss=ls,
+            lr=lr_sched(state.step),
+            grad_finite=finite,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn)
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    # shardings by pytree prefix: whole state replicated, batch split on data
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=(replicated, replicated),
+    )
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+    )

@@ -85,3 +85,26 @@ def test_max_pool3d_same_matches_reference_semantics():
     want = tF.max_pool3d(tx, k, s).permute(0, 2, 3, 4, 1).numpy()
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_patchify_matmul_equals_conv3d():
+    from vadcl_tpu.ops.convs import patchify_matmul
+
+    x = _rand(2, 4, 16, 16, 3)
+    w = _rand(2, 4, 4, 3, 8)
+    b = _rand(8)
+    got = np.asarray(patchify_matmul(x, w, b))
+    want = np.asarray(conv3d(x, w, b, stride=(2, 4, 4)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_unpatchify_matmul_equals_conv_transpose3d():
+    from vadcl_tpu.ops.convs import unpatchify_matmul
+
+    x = _rand(2, 2, 8, 8, 6)
+    w = _rand(2, 2, 2, 6, 4)
+    b = _rand(4)
+    got = np.asarray(unpatchify_matmul(x, w, b))
+    want = np.asarray(conv_transpose3d(x, w, b, stride=(2, 2, 2)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -69,6 +69,7 @@ class VADModel(nn.Module):
             attn_drop_rate=cfg.attn_drop_rate,
             drop_path_rate=cfg.drop_path_rate,
             remat=cfg.remat,
+            fused_attention=cfg.fused_attention,
             dtype=self.dtype,
             name="encoder",
         )(clip.astype(self.dtype), deterministic)
@@ -126,6 +127,7 @@ class VADModel(nn.Module):
             predict=cfg.predict,
             out_channels=cfg.in_channels,
             remat=cfg.remat,
+            fused_attention=cfg.fused_attention,
             dtype=self.dtype,
             name="decoder",
         )(x, deterministic)

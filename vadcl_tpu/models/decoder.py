@@ -91,6 +91,7 @@ class SwinDecoder3D(nn.Module):
     predict: bool = False
     out_channels: int = 3
     remat: bool = False
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -136,6 +137,7 @@ class SwinDecoder3D(nn.Module):
                     dpr[sum(self.depths[:i]) : sum(self.depths[: i + 1])]
                 ),
                 remat=self.remat,
+                fused=self.fused_attention,
                 dtype=self.dtype,
                 name=f"stage{i}",
             )(x, deterministic)

@@ -54,6 +54,7 @@ class SwinEncoder3D(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     remat: bool = False
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,6 +97,7 @@ class SwinEncoder3D(nn.Module):
                     dpr[sum(self.depths[:i]) : sum(self.depths[: i + 1])]
                 ),
                 remat=self.remat,
+                fused=self.fused_attention,
                 dtype=self.dtype,
                 name=f"stage{i}",
             )(x, deterministic)

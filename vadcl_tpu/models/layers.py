@@ -19,7 +19,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vadcl_tpu.ops.convs import conv3d, conv_transpose3d, max_pool3d_same
+from vadcl_tpu.ops.convs import (
+    conv3d,
+    conv_transpose3d,
+    max_pool3d_same,
+    patchify_matmul,
+    unpatchify_matmul,
+)
 
 # torch kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))
 torch_weight_init = nn.initializers.variance_scaling(
@@ -133,6 +139,9 @@ class Conv3d(nn.Module):
             if self.use_bias
             else None
         )
+        # NOTE: a reshape+matmul path for k==s convs was measured SLOWER than
+        # XLA's conv lowering on TPU (transposes with tiny lane dims dominate);
+        # see ops/convs.patchify_matmul for the primitive and tests.
         return conv3d(
             x.astype(self.dtype), w, b, stride=self.stride, padding=self.padding
         )

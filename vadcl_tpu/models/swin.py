@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vadcl_tpu.models.layers import DropPath, Mlp, layer_norm, torch_weight_init
-from vadcl_tpu.ops.convs import conv3d
+from vadcl_tpu.ops.convs import conv3d, patchify_matmul
+from vadcl_tpu.ops.pallas_attn import fused_window_attention
 from vadcl_tpu.ops.window import (
     compute_attn_mask,
     get_window_size,
@@ -45,6 +46,8 @@ class WindowAttention3D(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    fused: bool = False  # fused Pallas kernel (inference path; no VJP yet)
+    n_windows: int = 1  # windows per image, needed by the fused kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,18 +75,37 @@ class WindowAttention3D(nn.Module):
             "proj_bias", nn.initializers.zeros, (self.dim,), jnp.float32
         )
         rel_index = relative_position_index(self.window_size)
-        out = window_attention(
-            x_windows.astype(self.dtype),
-            qkv_w,
-            qkv_b,
-            proj_w,
-            proj_b,
-            table,
-            rel_index,
-            self.num_heads,
-            mask=mask,
-            scale=self.qk_scale,
-        )
+        if self.fused:
+            N = x_windows.shape[1]
+            head_dim = self.dim // self.num_heads
+            scale = self.qk_scale or head_dim**-0.5
+            bias = table[np.asarray(rel_index[:N, :N]).reshape(-1)]
+            bias = bias.reshape(N, N, -1).transpose(2, 0, 1)  # (nH, N, N)
+            out = fused_window_attention(
+                x_windows.astype(self.dtype),
+                qkv_w,
+                qkv_b,
+                proj_w,
+                proj_b,
+                bias,
+                jnp.asarray(mask) if mask is not None else None,
+                num_heads=self.num_heads,
+                n_windows=self.n_windows,
+                scale=scale,
+            )
+        else:
+            out = window_attention(
+                x_windows.astype(self.dtype),
+                qkv_w,
+                qkv_b,
+                proj_w,
+                proj_b,
+                table,
+                rel_index,
+                self.num_heads,
+                mask=mask,
+                scale=self.qk_scale,
+            )
         # attn_drop is inside the fused op's softmax path in the reference;
         # live rate is 0 — proj dropout kept for capability parity.
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
@@ -104,6 +126,7 @@ class SwinBlock3D(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,6 +155,11 @@ class SwinBlock3D(nn.Module):
         else:
             attn_mask = None
 
+        n_windows = (
+            (Dp // window_size[0])
+            * (Hp // window_size[1])
+            * (Wp // window_size[2])
+        )
         wins = window_partition(y, window_size)
         wins = WindowAttention3D(
             dim=C,
@@ -141,6 +169,8 @@ class SwinBlock3D(nn.Module):
             qk_scale=self.qk_scale,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            fused=self.fused,
+            n_windows=n_windows,
             dtype=self.dtype,
             name="attn",
         )(wins, mask=attn_mask, deterministic=deterministic)
@@ -183,6 +213,7 @@ class SwinStage(nn.Module):
     attn_drop: float = 0.0
     drop_path: Sequence[float] = (0.0,)
     remat: bool = False
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -206,6 +237,7 @@ class SwinStage(nn.Module):
                 drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path=dp[i],
+                fused=self.fused,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, deterministic)

@@ -1,0 +1,164 @@
+"""Fused Pallas window-attention kernel (TPU).
+
+The XLA path materializes the per-window score tensor (Bn, nH, N, N) in fp32 —
+at the flagship geometry (batch 32, stage 0: Bn=2048, nH=6, N=98) that is
+~470 MB round-tripped through HBM several times per block, which dominates the
+stage time.  This kernel computes qkv -> scores(+rel-pos bias, +shift mask) ->
+softmax -> attn@V -> proj for a tile of windows entirely in VMEM; scores never
+touch HBM.
+
+Math parity with ``vadcl_tpu.ops.window.window_attention`` (itself parity with
+``model/swin_transformer.py:139-171``): fp32 score accumulation and softmax,
+input-dtype (bf16) value matmuls.
+
+Inference/eval path only for now (no custom VJP); the XLA path remains the
+autodiff path.  Selected by ``WindowAttention3D(fused=True)``; shapes
+specialize per call site (N, heads, C static).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(
+    x_ref,  # (WINS, N, C) input windows (compute dtype)
+    qkv_w_ref,  # (C, 3C)
+    qkv_b_ref,  # (1, 3C) fp32 (zeros when no bias)
+    proj_w_ref,  # (C, C)
+    proj_b_ref,  # (1, C) fp32
+    bias_mask_ref,  # (1, nH + WINS, N, N) fp32: rel-pos bias rows then mask rows
+    out_ref,  # (WINS, N, C)
+    *,
+    num_heads: int,
+    scale: float,
+):
+    wins, n, c = x_ref.shape
+    hd = c // num_heads
+    dtype = x_ref.dtype
+    # per-window 2D matmuls throughout: Mosaic's vector layout cannot merge
+    # the (wins, n) dims when n is not sublane-aligned (e.g. n=49)
+    for w in range(wins):
+        xw = x_ref[w]  # (n, c)
+        qkv = jnp.dot(xw, qkv_w_ref[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + qkv_b_ref[0, :]).astype(dtype)
+        q = qkv[:, 0:c]
+        k = qkv[:, c : 2 * c]
+        v = qkv[:, 2 * c : 3 * c]
+        heads = []
+        for h in range(num_heads):
+            qh = q[:, h * hd : (h + 1) * hd]
+            kh = k[:, h * hd : (h + 1) * hd]
+            vh = v[:, h * hd : (h + 1) * hd]
+            s = (
+                jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            s = s + bias_mask_ref[0, h] + bias_mask_ref[0, num_heads + w]
+            p = jax.nn.softmax(s, axis=-1).astype(dtype)
+            heads.append(
+                jnp.dot(p, vh, preferred_element_type=jnp.float32)
+            )
+        o = jnp.concatenate(heads, axis=-1).astype(dtype)  # (n, c)
+        o2 = jnp.dot(o, proj_w_ref[:], preferred_element_type=jnp.float32)
+        out_ref[w] = (o2 + proj_b_ref[0, :]).astype(out_ref.dtype)
+
+
+def _pick_wins(bn: int, n_windows: int) -> int:
+    """Windows per grid cell: a divisor of the per-image window count (so the
+    mask block index repeats cleanly) and of the total count."""
+    for cand in (8, 4, 2, 1):
+        if n_windows % cand == 0 and bn % cand == 0:
+            return cand
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "n_windows", "scale", "interpret"),
+)
+def fused_window_attention(
+    x_windows: jax.Array,  # (Bn, N, C)
+    qkv_w: jax.Array,  # (C, 3C)
+    qkv_b: Optional[jax.Array],  # (3C,) or None
+    proj_w: jax.Array,  # (C, C)
+    proj_b: jax.Array,  # (C,)
+    bias: jax.Array,  # (nH, N, N) fp32 — pre-gathered rel-pos bias
+    mask: Optional[jax.Array],  # (nW, N, N) fp32 or None
+    num_heads: int,
+    n_windows: int,  # windows per image (nW)
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    bn, n, c = x_windows.shape
+    wins = _pick_wins(bn, n_windows)
+    grid = (bn // wins,)
+    dtype = x_windows.dtype
+
+    qkv_b32 = (
+        qkv_b.astype(jnp.float32)
+        if qkv_b is not None
+        else jnp.zeros((3 * c,), jnp.float32)
+    ).reshape(1, -1)
+    if mask is None:
+        mask = jnp.zeros((n_windows, n, n), jnp.float32)
+    # one fused table: rows [0, nH) = per-head bias, rows [nH, nH+nW) = masks;
+    # the block spec slices out this cell's WINS mask rows alongside the bias.
+    nH = num_heads
+    bias_f = bias.astype(jnp.float32)
+    mask_f = mask.astype(jnp.float32)
+    nW_blocks = n_windows // wins
+
+    # Build per-block tables: (nW_blocks, nH + wins, N, N) so a single block
+    # index selects bias + the right masks contiguously.
+    tables = jnp.concatenate(
+        [
+            jnp.broadcast_to(bias_f[None], (nW_blocks, nH, n, n)),
+            mask_f.reshape(nW_blocks, wins, n, n),
+        ],
+        axis=1,
+    )
+
+    kernel = functools.partial(
+        _attn_kernel, num_heads=num_heads, scale=scale
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (wins, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_b
+            pl.BlockSpec(
+                (1, nH + wins, n, n),
+                lambda i, _nb=nW_blocks: (i % _nb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (wins, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bn, n, c), dtype),
+        interpret=interpret,
+    )(
+        x_windows,
+        qkv_w.astype(dtype),
+        qkv_b32,
+        proj_w.astype(dtype),
+        proj_b.astype(jnp.float32).reshape(1, -1),
+        tables,
+    )

@@ -1,0 +1,96 @@
+"""Checkpoint manager: roundtrip, metadata, gc, latest-tag, tolerant merge,
+and training auto-resume."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vadcl_tpu.train.checkpoint import (
+    CheckpointManager,
+    flatten_state,
+    tolerant_merge,
+)
+
+
+def _state():
+    return {
+        "step": jnp.asarray(7, jnp.int32),
+        "params": {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)}},
+    }
+
+
+def test_roundtrip_and_metadata(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    state = _state()
+    mgr.save("12", state, {"epoch": 3})
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = mgr.restore("12", template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert mgr.metadata("12") == {"epoch": 3}
+    assert mgr.latest_tag() == "12"
+
+
+def test_gc_keeps_newest(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    for tag in range(5):
+        mgr.save(str(tag), _state(), {"epoch": tag})
+    kept = sorted(os.listdir(tmp_path))
+    assert kept == ["ckpt_3.npz", "ckpt_4.npz"]
+    mgr.save("best", _state())
+    assert "ckpt_best.npz" in os.listdir(tmp_path)
+    assert mgr.latest_tag() == "4"
+
+
+def test_tolerant_merge_partial():
+    template = {"a": jnp.zeros((2, 2)), "b": jnp.zeros((3,)), "c": jnp.zeros((4,))}
+    loaded = {
+        "a": np.ones((2, 2), np.float32),
+        "b": np.ones((99,), np.float32),  # wrong shape -> kept at init
+    }
+    merged, hits, misses = tolerant_merge(template, loaded)
+    assert hits == ["a"]
+    assert set(misses) == {"b", "c"}
+    np.testing.assert_array_equal(np.asarray(merged["a"]), loaded["a"])
+    np.testing.assert_array_equal(np.asarray(merged["b"]), np.zeros(3))
+
+
+def test_train_resume(tmp_path):
+    """Auto-resume restarts from the newest checkpoint's epoch."""
+    from vadcl_tpu.core.config import (
+        ClusterConfig, Config, DataConfig, ModelConfig, OptimConfig,
+    )
+    from vadcl_tpu.data import ClipDataset, HostDataLoader, make_synthetic_dataset
+    from vadcl_tpu.train.loop import train
+
+    root = str(tmp_path / "data")
+    train_dir, _, _ = make_synthetic_dataset(
+        root, num_train_videos=1, num_test_videos=1, frames_per_video=11, size=56
+    )
+    cfg = Config(
+        model=ModelConfig(
+            embed_dim=32,
+            encoder_depths=(1, 1),
+            encoder_heads=(2, 4),
+            decoder_depths=(1, 1),
+            decoder_heads=(4, 2),
+            cluster=ClusterConfig(feature_clusters=8, space_clusters=4, space_size=7),
+        ),
+        data=DataConfig(frame_num=4, image_size=(56, 56)),
+        optim=OptimConfig(lr=1e-4, epochs=2),
+        batch_size_per_device=4,
+        output_dir=str(tmp_path / "run"),
+    )
+    ds = ClipDataset(train_dir, frame_num=4, size=(56, 56))
+    loader = HostDataLoader(ds, batch_size=4, seed=0, num_workers=2)
+    state1 = train(cfg, loader)
+    steps_after_full = int(state1.step)
+    assert steps_after_full == 2 * loader.steps_per_epoch()
+    # second invocation resumes from the saved epoch-1 ckpt: nothing to do
+    state2 = train(cfg, loader)
+    assert int(state2.step) == steps_after_full

@@ -1,0 +1,128 @@
+"""Evaluation driver: checkpoint -> per-scene frame-level AUROC.
+
+Replacement for the reference's four eval scripts (``tool/evaluate.py``,
+``tool/contrast_evaluae.py``, ``tool/predict_evaluae.py``, and the embedded
+tester in ``main_predict.py``) with the protocol as a flag:
+
+  python tools/evaluate.py --ckpt log_dir/ckpt/ckpt_100.npz \\
+      --test-data-path /data/test/frames --label-path /data/test/labels \\
+      [--predict] [--protocol stride1|nonoverlap|stride1_first_frame] \\
+      [--torch-ckpt reference.pth]  # translated reference weights
+
+Also dumps per-video anomaly-score curves to ``scores.npz`` for the
+paradigm-comparison plots (tool/temp.csv capability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vadcl_tpu.core.config import preset
+from vadcl_tpu.data import ClipDataset
+from vadcl_tpu.eval.predict import evaluate_videos, make_window_scorer
+from vadcl_tpu.models.backbone import VADModel
+from vadcl_tpu.train.checkpoint import tolerant_merge
+from vadcl_tpu.train.step import TrainState
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="shanghaitech")
+    ap.add_argument("--ckpt", default="")
+    ap.add_argument("--torch-ckpt", default="")
+    ap.add_argument("--test-data-path", required=True)
+    ap.add_argument("--label-path", required=True)
+    ap.add_argument("--predict", action="store_true")
+    ap.add_argument("--protocol", default="stride1",
+                    choices=["stride1", "nonoverlap", "stride1_first_frame"])
+    ap.add_argument("--batch-windows", type=int, default=8)
+    ap.add_argument("--frame-num", type=int, default=4)
+    ap.add_argument("--fused", action="store_true",
+                    help="fused Pallas attention (TPU)")
+    ap.add_argument("--out", default="scores.npz")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    cfg = preset(args.preset)
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, predict=args.predict, fused_attention=args.fused
+        )
+    )
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    model = VADModel(config=cfg.model, dtype=dtype)
+    sample = jnp.zeros(
+        (1, args.frame_num, *cfg.data.image_size, 3), jnp.float32
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), sample)
+
+    if args.torch_ckpt:
+        from vadcl_tpu.train.torch_import import load_reference_checkpoint
+
+        params, stats, unmatched = load_reference_checkpoint(args.torch_ckpt)
+        flat = {f"params/{k}": v for k, v in params.items()}
+        flat.update({f"batch_stats/{k}": v for k, v in stats.items()})
+        variables, hits, misses = tolerant_merge(variables, flat)
+        print(f"translated torch ckpt: {len(hits)} loaded, {len(misses)} kept, "
+              f"{len(unmatched)} unmatched torch keys")
+    elif args.ckpt:
+        with np.load(args.ckpt) as z:
+            flat = {k: z[k] for k in z.files if k != "__meta__"}
+        # checkpoints store a full TrainState; select the variables subtrees
+        flat = {
+            k.split("/", 1)[1]: v
+            for k, v in flat.items()
+            if k.startswith(("params/", "batch_stats/"))
+        }
+        variables, hits, misses = tolerant_merge(variables, flat)
+        print(f"checkpoint: {len(hits)} loaded, {len(misses)} kept at init")
+
+    def apply_fn(clips):
+        return model.apply(variables, clips).recon
+
+    scorer = make_window_scorer(
+        apply_fn,
+        frame_num=args.frame_num,
+        predict=args.predict,
+        batch_windows=args.batch_windows,
+        first_frame_quirk=args.protocol == "stride1_first_frame",
+    )
+    ds = ClipDataset(
+        args.test_data_path,
+        frame_num=args.frame_num,
+        size=cfg.data.image_size,
+        label_root=args.label_path,
+        istest=True,
+    )
+    proto = "stride1" if args.protocol == "stride1_first_frame" else args.protocol
+    auc, per_scene, per_video = evaluate_videos(
+        scorer,
+        ds.iter_test_videos(),
+        frame_num=args.frame_num,
+        predict=args.predict,
+        protocol=proto,
+    )
+    for scene, a in sorted(per_scene.items()):
+        print(f"scene {scene}: AUC = {a:.4f}")
+    print(f"mean scene AUC = {auc:.4f}")
+    np.savez(
+        args.out,
+        **{
+            f"video{i}_{v.scene}": np.stack([v.scores, v.labels.astype(np.float64)])
+            for i, v in enumerate(per_video)
+        },
+    )
+    print("per-video score curves ->", args.out)
+
+
+if __name__ == "__main__":
+    main()

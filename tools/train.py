@@ -1,0 +1,150 @@
+"""Training driver for real frame-folder datasets (ShanghaiTech/Avenue/Ped2).
+
+The replacement for ``main_predict.py`` (and the stale ``main.py``):
+
+  python tools/train.py --preset shanghaitech --data-path /data/frames \\
+      [--test-data-path ... --label-path ...] [--predict] [--epochs N]
+      [--resume] [--eval-every 4]
+
+One typed Config drives everything; checkpoints land under
+``<output-dir>/ckpt`` with auto-resume; optional periodic AUC eval keeps a
+'best' checkpoint (the reference's commented-out hook, main_predict.py:212-218).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from vadcl_tpu.core.config import preset
+from vadcl_tpu.core.mesh import make_mesh, maybe_initialize_distributed
+from vadcl_tpu.data import ClipDataset, HostDataLoader
+from vadcl_tpu.eval.predict import evaluate_videos, make_window_scorer
+from vadcl_tpu.models.backbone import VADModel
+from vadcl_tpu.train.loop import train
+
+
+def build_eval_fn(cfg, test_dir, label_dir):
+    test_ds = ClipDataset(
+        test_dir,
+        frame_num=cfg.data.frame_num,
+        size=cfg.data.image_size,
+        label_root=label_dir,
+        istest=True,
+    )
+    model = VADModel(config=cfg.model, dtype=jnp.bfloat16)
+
+    def eval_fn(state) -> float:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def apply_fn(clips):
+            return model.apply(variables, clips).recon
+
+        scorer = make_window_scorer(
+            apply_fn,
+            frame_num=cfg.data.frame_num,
+            predict=cfg.model.predict,
+            batch_windows=cfg.eval.batch_windows,
+        )
+        auc, per_scene, _ = evaluate_videos(
+            scorer,
+            test_ds.iter_test_videos(),
+            frame_num=cfg.data.frame_num,
+            predict=cfg.model.predict,
+            protocol=cfg.eval.protocol,
+        )
+        print("per-scene AUC:", {k: round(v, 4) for k, v in per_scene.items()})
+        print("mean scene AUC:", round(auc, 4))
+        return auc
+
+    return eval_fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="shanghaitech")
+    ap.add_argument("--data-path", required=True)
+    ap.add_argument("--test-data-path", default="")
+    ap.add_argument("--label-path", default="")
+    ap.add_argument("--output-dir", default="log_dir")
+    ap.add_argument("--predict", action="store_true")
+    ap.add_argument("--epochs", type=int, default=0)
+    ap.add_argument("--batch-size", type=int, default=0, help="per device")
+    ap.add_argument("--lr", type=float, default=0.0)
+    ap.add_argument("--frame-num", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=0, help="epochs")
+    ap.add_argument("--max-steps", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cluster-start-iter", type=int, default=0)
+    ap.add_argument("--no-cluster", action="store_true")
+    args = ap.parse_args()
+
+    maybe_initialize_distributed()
+    cfg = preset(args.preset)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            data_path=args.data_path,
+            test_data_path=args.test_data_path,
+            label_path=args.label_path,
+            frame_num=args.frame_num or cfg.data.frame_num,
+        ),
+        model=dataclasses.replace(
+            cfg.model,
+            predict=args.predict,
+            use_cluster=not args.no_cluster,
+        ),
+        schedule=dataclasses.replace(
+            cfg.schedule,
+            cluster_start_iter=args.cluster_start_iter,
+            cluster_train_start_iter=args.cluster_start_iter,
+        ),
+        output_dir=args.output_dir,
+        seed=args.seed,
+    )
+    if args.epochs:
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, epochs=args.epochs))
+    if args.lr:
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, lr=args.lr))
+    if args.batch_size:
+        cfg = cfg.replace(batch_size_per_device=args.batch_size)
+
+    mesh = make_mesh(cfg.mesh.num_devices) if len(jax.devices()) > 1 else None
+    n_dev = len(jax.devices()) if mesh else 1
+    ds = ClipDataset(
+        cfg.data.data_path, frame_num=cfg.data.frame_num, size=cfg.data.image_size
+    )
+    loader = HostDataLoader(
+        ds,
+        batch_size=cfg.batch_size_per_device * n_dev,
+        seed=cfg.seed,
+        num_workers=cfg.data.num_workers,
+        prefetch=cfg.data.prefetch,
+        host_id=jax.process_index(),
+        num_hosts=jax.process_count(),
+    )
+    print(f"{len(ds)} train clips on {n_dev} devices")
+
+    eval_fn = None
+    if args.test_data_path and args.eval_every:
+        eval_fn = build_eval_fn(cfg, args.test_data_path, args.label_path)
+
+    train(
+        cfg,
+        loader,
+        mesh=mesh,
+        eval_fn=eval_fn,
+        eval_every_epochs=args.eval_every,
+        max_steps=args.max_steps or None,
+    )
+
+
+if __name__ == "__main__":
+    main()

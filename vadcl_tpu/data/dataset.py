@@ -45,9 +45,25 @@ def _decode_resize(path: str, size: Tuple[int, int]) -> np.ndarray:
 
 
 def load_clip(
-    frame_paths: Sequence[str], size: Tuple[int, int] = (224, 224)
+    frame_paths: Sequence[str],
+    size: Tuple[int, int] = (224, 224),
+    use_native: bool = True,
 ) -> np.ndarray:
-    """(T, H, W, C) float32 in [0, 1]."""
+    """(T, H, W, C) float32 in [0, 1].
+
+    Uses the C++ threaded decoder (vadcl_tpu.data.native) when built and the
+    frames are JPEG; falls back to PIL otherwise.
+    """
+    if use_native and all(
+        p.lower().endswith((".jpg", ".jpeg")) for p in frame_paths
+    ):
+        from vadcl_tpu.data import native
+
+        if native.available():
+            try:
+                return native.decode_resize_batch(frame_paths, size)
+            except (IOError, RuntimeError):
+                pass
     return np.stack([_decode_resize(p, size) for p in frame_paths])
 
 

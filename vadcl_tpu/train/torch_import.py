@@ -1,0 +1,267 @@
+"""PyTorch reference checkpoint -> vadcl_tpu parameter translation.
+
+Enables AUROC-parity validation against reference-trained weights
+(SURVEY §7.3.6): a ``Mymodel`` state_dict (``model/backbone.py:28``, saved DDP-
+prefixed per ``main_predict.py:204``) maps 1:1 onto the VADModel param tree.
+
+Name map (torch -> ours), after stripping the 7-char ``module.`` prefix
+exactly like ``misc/utils.py:62``:
+
+  encoder.patch_embed.proj.*          -> encoder/patch_embed
+  encoder.layers.{i}.blocks.{j}.*     -> encoder/stage{i}/block{j}
+  encoder.conv_layers.{i}.0.*         -> encoder/inception{i}
+  encoder.downsample.{i}.0.*          -> encoder/downsample{i}
+  decoder.timedebd.*                  -> decoder/timedebd
+  decoder.ST_layers.{i}.blocks.{j}.*  -> decoder/stage{i}/block{j}
+  decoder.I3D_layers.{i}.0.*          -> decoder/inception{i}
+  decoder.upsampling.0.proj.0.*       -> decoder/upsample0/proj
+  decoder.norm.*                      -> decoder/norm
+  decoder.patchdebed.proj.{0,2,4}.*   -> decoder/patchdebed/{deconv1,conv,deconv2}
+  cluster1.* / space_cluster.* / norm.* -> same names
+
+Layout conversions:
+  Linear  (out, in)            -> kernel (in, out)
+  Conv3d  (O, I, kd, kh, kw)   -> kernel (kd, kh, kw, I, O)
+  ConvT3d (I, O, kd, kh, kw)   -> kernel (kd, kh, kw, I, O)
+  LayerNorm/BatchNorm weight/bias -> scale/bias; BN running stats ->
+  batch_stats/{mean,var}; ``identity_matrix`` buffers are dropped (constant,
+  unused — model/cluster.py:72).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_INCEPTION_UNITS = ("b0", "b1a", "b1b", "b2a", "b2b", "b3b")
+
+
+def _block_rename(rest: str) -> Optional[Tuple[str, str]]:
+    """Swin block param: returns (our_subpath, kind). kind in
+    {linear, tensor, norm_scale, norm_bias, bias}."""
+    m = re.fullmatch(r"(norm[12])\.(weight|bias)", rest)
+    if m:
+        kind = "norm_scale" if m.group(2) == "weight" else "norm_bias"
+        return f"{m.group(1)}", kind
+    m = re.fullmatch(r"attn\.relative_position_bias_table", rest)
+    if m:
+        return "attn/relative_position_bias_table", "tensor"
+    m = re.fullmatch(r"attn\.qkv\.(weight|bias)", rest)
+    if m:
+        if m.group(1) == "weight":
+            return "attn/qkv_kernel", "linear"
+        return "attn/qkv_bias", "tensor"
+    m = re.fullmatch(r"attn\.proj\.(weight|bias)", rest)
+    if m:
+        if m.group(1) == "weight":
+            return "attn/proj_kernel", "linear"
+        return "attn/proj_bias", "tensor"
+    m = re.fullmatch(r"mlp\.(fc[12])\.(weight|bias)", rest)
+    if m:
+        if m.group(2) == "weight":
+            return f"mlp/{m.group(1)}/kernel", "linear"
+        return f"mlp/{m.group(1)}/bias", "tensor"
+    return None
+
+
+def _convert(kind: str, v: np.ndarray) -> np.ndarray:
+    if kind == "linear":
+        return np.transpose(v)  # (out, in) -> (in, out)
+    if kind == "conv":
+        return np.transpose(v, (2, 3, 4, 1, 0))  # OIDHW -> DHWIO
+    if kind == "convT":
+        return np.transpose(v, (2, 3, 4, 0, 1))  # IODHW -> DHW,I,O
+    return v
+
+
+def _unit3d(rest: str) -> Optional[Tuple[str, str, str]]:
+    """Inception Unit3D param -> (our_subpath, kind, collection)."""
+    m = re.fullmatch(
+        r"(b0|b1a|b1b|b2a|b2b|b3b)\.(conv3d\.weight|bn\.weight|bn\.bias|"
+        r"bn\.running_mean|bn\.running_var|bn\.num_batches_tracked)",
+        rest,
+    )
+    if not m:
+        return None
+    unit, leaf = m.group(1), m.group(2)
+    if leaf == "conv3d.weight":
+        return f"{unit}/conv3d/kernel", "conv", "params"
+    if leaf == "bn.weight":
+        return f"{unit}/bn/scale", "tensor", "params"
+    if leaf == "bn.bias":
+        return f"{unit}/bn/bias", "tensor", "params"
+    if leaf == "bn.running_mean":
+        return f"{unit}/bn/mean", "tensor", "batch_stats"
+    if leaf == "bn.running_var":
+        return f"{unit}/bn/var", "tensor", "batch_stats"
+    return ("__drop__", "tensor", "params")  # num_batches_tracked
+
+
+def translate_torch_state(
+    torch_state: Dict[str, np.ndarray],
+    predict: bool = True,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], list]:
+    """Returns (params_flat, batch_stats_flat, unmatched_keys) with '/'-joined
+    paths matching ``vadcl_tpu.train.checkpoint.flatten_state`` of the
+    VADModel variables (rooted below 'params'/'batch_stats')."""
+    params: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+    unmatched = []
+
+    def put(path: str, kind: str, v, collection: str = "params"):
+        if path == "__drop__":
+            return
+        arr = _convert(kind, np.asarray(v))
+        (params if collection == "params" else stats)[path] = arr
+
+    for key, v in torch_state.items():
+        k = key[7:] if key.startswith("module.") else key
+        if "identity_matrix" in k:
+            continue
+
+        # --- encoder ---
+        m = re.fullmatch(r"encoder\.patch_embed\.proj\.(weight|bias)", k)
+        if m:
+            put(
+                "encoder/patch_embed/" + ("kernel" if m.group(1) == "weight" else "bias"),
+                "conv" if m.group(1) == "weight" else "tensor",
+                v,
+            )
+            continue
+        m = re.fullmatch(r"encoder\.layers\.(\d+)\.blocks\.(\d+)\.(.*)", k)
+        if m:
+            sub = _block_rename(m.group(3))
+            if sub:
+                path, kind = sub
+                if kind.startswith("norm_"):
+                    leaf = "scale" if kind == "norm_scale" else "bias"
+                    put(
+                        f"encoder/stage{m.group(1)}/block{m.group(2)}/{path}/{leaf}",
+                        "tensor", v,
+                    )
+                else:
+                    put(
+                        f"encoder/stage{m.group(1)}/block{m.group(2)}/{path}",
+                        kind, v,
+                    )
+                continue
+        m = re.fullmatch(r"encoder\.conv_layers\.(\d+)\.0\.(.*)", k)
+        if m:
+            sub = _unit3d(m.group(2))
+            if sub:
+                path, kind, coll = sub
+                put(f"encoder/inception{m.group(1)}/{path}", kind, v, coll)
+                continue
+        m = re.fullmatch(r"encoder\.downsample\.(\d+)\.0\.(weight|bias)", k)
+        if m:
+            put(
+                f"encoder/downsample{m.group(1)}/"
+                + ("kernel" if m.group(2) == "weight" else "bias"),
+                "conv" if m.group(2) == "weight" else "tensor",
+                v,
+            )
+            continue
+
+        # --- decoder ---
+        m = re.fullmatch(r"decoder\.timedebd\.(weight|bias)", k)
+        if m:
+            # Conv3d in predict mode (OIDHW) vs ConvTranspose3d in recon mode
+            # (IODHW) — both 192x192x(2,1,1), so the layout cannot be inferred
+            # from shape; the ``predict`` argument selects it.
+            kind = "conv" if predict else "convT"
+            put(
+                "decoder/timedebd/" + ("kernel" if m.group(1) == "weight" else "bias"),
+                kind if m.group(1) == "weight" else "tensor",
+                v,
+            )
+            continue
+        m = re.fullmatch(r"decoder\.ST_layers\.(\d+)\.blocks\.(\d+)\.(.*)", k)
+        if m:
+            sub = _block_rename(m.group(3))
+            if sub:
+                path, kind = sub
+                if kind.startswith("norm_"):
+                    leaf = "scale" if kind == "norm_scale" else "bias"
+                    put(
+                        f"decoder/stage{m.group(1)}/block{m.group(2)}/{path}/{leaf}",
+                        "tensor", v,
+                    )
+                else:
+                    put(
+                        f"decoder/stage{m.group(1)}/block{m.group(2)}/{path}",
+                        kind, v,
+                    )
+                continue
+        m = re.fullmatch(r"decoder\.I3D_layers\.(\d+)\.0\.(.*)", k)
+        if m:
+            sub = _unit3d(m.group(2))
+            if sub:
+                path, kind, coll = sub
+                put(f"decoder/inception{m.group(1)}/{path}", kind, v, coll)
+                continue
+        m = re.fullmatch(r"decoder\.upsampling\.0\.proj\.0\.(weight|bias)", k)
+        if m:
+            put(
+                "decoder/upsample0/proj/"
+                + ("kernel" if m.group(1) == "weight" else "bias"),
+                "convT" if m.group(1) == "weight" else "tensor",
+                v,
+            )
+            continue
+        m = re.fullmatch(r"decoder\.norm\.(weight|bias)", k)
+        if m:
+            put(
+                "decoder/norm/" + ("scale" if m.group(1) == "weight" else "bias"),
+                "tensor", v,
+            )
+            continue
+        m = re.fullmatch(r"decoder\.patchdebed\.proj\.(0|2|4)\.(weight|bias)", k)
+        if m:
+            name = {"0": "deconv1", "2": "conv", "4": "deconv2"}[m.group(1)]
+            kind = {"0": "convT", "2": "conv", "4": "convT"}[m.group(1)]
+            put(
+                f"decoder/patchdebed/{name}/"
+                + ("kernel" if m.group(2) == "weight" else "bias"),
+                kind if m.group(2) == "weight" else "tensor",
+                v,
+            )
+            continue
+
+        # --- cluster heads + final norm ---
+        m = re.fullmatch(r"(cluster1|space_cluster)\.norm\.(weight|bias)", k)
+        if m:
+            put(
+                f"{m.group(1)}/norm/"
+                + ("scale" if m.group(2) == "weight" else "bias"),
+                "tensor", v,
+            )
+            continue
+        m = re.fullmatch(r"(cluster1|space_cluster)\.cluster_center", k)
+        if m:
+            put(f"{m.group(1)}/cluster_center", "tensor", v)
+            continue
+        m = re.fullmatch(r"norm\.(weight|bias)", k)
+        if m:
+            put(
+                "norm/" + ("scale" if m.group(1) == "weight" else "bias"),
+                "tensor", v,
+            )
+            continue
+
+        unmatched.append(key)
+
+    return params, stats, unmatched
+
+
+def load_reference_checkpoint(path: str):
+    """torch.load a reference .pth and translate (torch is a test/tooling
+    dependency only)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu")
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]  # misc/utils.py:104 variant
+    state = {k: v.numpy() for k, v in raw.items() if hasattr(v, "numpy")}
+    return translate_torch_state(state)

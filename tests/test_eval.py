@@ -125,3 +125,24 @@ def test_evaluate_videos_perfect_detector():
         scene_labels[scene] = np.append(scene_labels[scene], lab)
     aucs = per_scene_auc(scene_scores, scene_labels)
     assert mean_scene_auc(aucs) == 1.0
+
+
+def test_spmd_scorer_matches_single_device():
+    """Mesh-sharded window scorer == single-device scorer."""
+    import jax
+    import jax.numpy as jnp
+
+    from vadcl_tpu.core.mesh import make_mesh
+    from vadcl_tpu.eval.predict import make_window_scorer
+
+    def apply_fn(clips):
+        # toy "model": reconstruct a blurred last frame
+        return jnp.mean(clips, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(0)
+    windows = rng.rand(19, 4, 16, 16, 3).astype(np.float32)
+    s1 = make_window_scorer(apply_fn, 4, predict=True, batch_windows=8)
+    s2 = make_window_scorer(
+        apply_fn, 4, predict=True, batch_windows=8, mesh=make_mesh(8)
+    )
+    np.testing.assert_allclose(s1(windows), s2(windows), rtol=1e-6)

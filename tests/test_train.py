@@ -163,3 +163,49 @@ def test_train_step_dp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2.5 * cfg.optim.lr
         )
+
+
+def test_torch_adamw_matches_torch():
+    rng = np.random.RandomState(3)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    target = rng.randn(4, 3).astype(np.float32)
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    topt = torch.optim.AdamW([tw], lr=1e-2, weight_decay=0.05)
+    from vadcl_tpu.train.optim import build_optimizer
+
+    params = {"w": jnp.asarray(w0)}
+    tx = build_optimizer("adamw", 1e-2, 0.05, 0.9, 0.999, 1e-8)
+    opt_state = tx.init(params)
+    for step in range(15):
+        topt.zero_grad()
+        ((tw - torch.tensor(target)) ** 2).sum().backward()
+        topt.step()
+        g = jax.grad(lambda p: jnp.sum((p["w"] - target) ** 2))(params)
+        upd, opt_state = tx.update(g, opt_state, params, step=jnp.asarray(step))
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_torch_sgd_matches_torch():
+    rng = np.random.RandomState(4)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    target = rng.randn(4, 3).astype(np.float32)
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    topt = torch.optim.SGD([tw], lr=1e-2, momentum=0.9, weight_decay=0.01)
+    from vadcl_tpu.train.optim import build_optimizer
+
+    params = {"w": jnp.asarray(w0)}
+    tx = build_optimizer("sgd", 1e-2, 0.01, 0.9, 0.999, 1e-8)
+    opt_state = tx.init(params)
+    for step in range(15):
+        topt.zero_grad()
+        ((tw - torch.tensor(target)) ** 2).sum().backward()
+        topt.step()
+        g = jax.grad(lambda p: jnp.sum((p["w"] - target) ** 2))(params)
+        upd, opt_state = tx.update(g, opt_state, params, step=jnp.asarray(step))
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6
+    )

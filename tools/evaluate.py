@@ -77,12 +77,15 @@ def main():
     elif args.ckpt:
         with np.load(args.ckpt) as z:
             flat = {k: z[k] for k in z.files if k != "__meta__"}
-        # checkpoints store a full TrainState; select the variables subtrees
-        flat = {
-            k.split("/", 1)[1]: v
-            for k, v in flat.items()
-            if k.startswith(("params/", "batch_stats/"))
-        }
+        # checkpoints store a full TrainState: params/... plus the non-param
+        # collections under extras/ (batch_stats, memory)
+        sel = {}
+        for k, v in flat.items():
+            if k.startswith("params/"):
+                sel[k] = v
+            elif k.startswith("extras/"):
+                sel[k.split("/", 1)[1]] = v
+        flat = sel
         variables, hits, misses = tolerant_merge(variables, flat)
         print(f"checkpoint: {len(hits)} loaded, {len(misses)} kept at init")
 

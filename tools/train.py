@@ -42,7 +42,7 @@ def build_eval_fn(cfg, test_dir, label_dir):
     model = VADModel(config=cfg.model, dtype=jnp.bfloat16)
 
     def eval_fn(state) -> float:
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = {"params": state.params, **state.extras}
 
         def apply_fn(clips):
             return model.apply(variables, clips).recon

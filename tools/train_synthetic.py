@@ -75,7 +75,7 @@ def main():
     print("trained", int(state.step), "steps")
 
     model = VADModel(config=cfg.model)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": state.params, **state.extras}
 
     def apply_fn(clips):
         return model.apply(variables, clips).recon

@@ -92,6 +92,7 @@ class OptimConfig:
     CosineLRScheduler steps once per epoch.
     """
 
+    optimizer: str = "adam"  # adam | adamw | sgd (reference --optimizer)
     lr: float = 6e-6
     min_lr: float = 1e-6
     weight_decay: float = 0.02

@@ -22,6 +22,7 @@ host exactly as the reference does.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Iterable, List, NamedTuple, Sequence, Tuple
 
 import jax
@@ -53,6 +54,7 @@ def make_window_scorer(
     predict: bool,
     batch_windows: int,
     first_frame_quirk: bool = False,
+    mesh=None,
 ) -> Callable[[np.ndarray], np.ndarray]:
     """Build a jitted scorer: (batch_windows, frame_num, H, W, C) float clip
     windows -> per-frame MSE, shape (batch_windows,) in predict mode or
@@ -61,9 +63,23 @@ def make_window_scorer(
     ``apply_fn(clips) -> recon`` is the model forward (already bound to
     params); it receives the full ``frame_num``-frame window, matching
     training (``tool/contrast_evaluae.py:205-208``).
+
+    With a ``mesh``, the window batch shards over the 'data' axis so eval
+    scales across chips (``batch_windows`` must divide by the mesh size).
     """
 
-    @jax.jit
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharded = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        jit_kwargs = dict(
+            in_shardings=(batch_sharded,), out_shardings=replicated
+        )
+    else:
+        jit_kwargs = {}
+
+    @partial(jax.jit, **jit_kwargs)
     def score(clips: jax.Array) -> jax.Array:
         recon = apply_fn(clips).astype(jnp.float32)
         clips32 = clips.astype(jnp.float32)

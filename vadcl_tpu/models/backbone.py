@@ -44,7 +44,16 @@ class VADOutput(NamedTuple):
 
 
 class VADModel(nn.Module):
-    """Flagship Swin+I3D clustering-guided autoencoder."""
+    """Composite VAD model.  ``config.backbone`` selects the family:
+
+    * ``swin`` — flagship Swin+I3D clustering-guided autoencoder (default);
+    * ``unet3d`` — 5-level residual 3D U-Net (``model/unet3D.py``, the
+      commented alternative at ``model/backbone.py:32``);
+    * ``convae`` / ``convae_predict`` — MNAD memory-augmented conv AEs
+      (``model/conv_mae/*``, the commented alternative at
+      ``model/backbone.py:31``); their separateness/compactness memory losses
+      ride the cluster/space loss slots so one train step serves all familes.
+    """
 
     config: ModelConfig
     dtype: jnp.dtype = jnp.float32
@@ -57,6 +66,8 @@ class VADModel(nn.Module):
         detach_cluster_input: Optional[bool] = None,
     ) -> VADOutput:
         cfg = self.config
+        if cfg.backbone != "swin":
+            return self._alt_backbone(clip, deterministic)
         x, x_rec, taps = SwinEncoder3D(
             patch_size=cfg.patch_size,
             embed_dim=cfg.embed_dim,
@@ -141,3 +152,62 @@ class VADModel(nn.Module):
             cluster_assign=cluster_assign,
             space_assign=space_assign,
         )
+
+    def _alt_backbone(self, clip: jax.Array, deterministic: bool) -> VADOutput:
+        """Alternative model families behind the same output contract."""
+        from vadcl_tpu.models.conv_ae import ConvAE, ConvAEPredict
+        from vadcl_tpu.models.unet3d import UNet3D
+
+        cfg = self.config
+        B = clip.shape[0]
+        zero = jnp.zeros((), jnp.float32)
+        if cfg.backbone == "unet3d":
+            recon = UNet3D(
+                num_channels=cfg.in_channels, dtype=self.dtype, name="unet3d"
+            )(clip.astype(self.dtype))
+            feat = recon.reshape(B, -1)[:, :1].astype(jnp.float32)
+            return VADOutput(
+                recon=recon,
+                cluster_loss=zero,
+                space_loss=zero,
+                feature=feat,
+                feature_label=jnp.zeros((B,), jnp.int32),
+                cluster_assign=None,
+                space_assign=None,
+            )
+        if cfg.backbone in ("convae", "convae_predict"):
+            T = clip.shape[1]
+            if cfg.backbone == "convae":
+                net = ConvAE(
+                    n_channel=cfg.in_channels,
+                    t_length=T,
+                    memory_size=cfg.memory_size,
+                    key_dim=cfg.memory_dim,
+                    dtype=self.dtype,
+                    name="convae",
+                )
+            else:
+                net = ConvAEPredict(
+                    n_channel=cfg.in_channels,
+                    t_length=T + 1,
+                    memory_size=cfg.memory_size,
+                    key_dim=cfg.memory_dim,
+                    dtype=self.dtype,
+                    name="convae",
+                )
+            out = net(clip.astype(self.dtype), train=not deterministic)
+            d = out.feature.shape[-1]
+            # separateness/compactness occupy the aux loss slots
+            # (MNAD training adds them weighted, like the cluster losses)
+            return VADOutput(
+                recon=out.recon,
+                cluster_loss=out.memory.separateness,
+                space_loss=out.memory.compactness,
+                feature=out.feature.reshape(-1, d).astype(jnp.float32),
+                feature_label=jnp.zeros(
+                    (out.feature.reshape(-1, d).shape[0],), jnp.int32
+                ),
+                cluster_assign=None,
+                space_assign=None,
+            )
+        raise ValueError(f"unknown backbone {cfg.backbone!r}")

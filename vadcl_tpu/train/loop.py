@@ -48,10 +48,14 @@ def train(
     eval_fn: Optional[Callable[[TrainState], float]] = None,
     eval_every_epochs: int = 0,
     max_steps: Optional[int] = None,
+    profile_steps: int = 0,  # jax.profiler trace of steps [2, 2+profile_steps)
+    debug_nans: bool = False,  # the analogue of set_detect_anomaly (SURVEY §5.2)
 ) -> TrainState:
     os.makedirs(cfg.output_dir, exist_ok=True)
     logger = get_logger(os.path.join(cfg.output_dir, "exp.log"))
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     model = VADModel(config=cfg.model)
     steps_per_epoch = loader.steps_per_epoch()
@@ -69,18 +73,51 @@ def train(
         start_epoch = int(ckpt.metadata(latest).get("epoch", 0)) + 1
         logger.info(f"resumed from checkpoint {latest} at epoch {start_epoch}")
 
+    from vadcl_tpu.utils.profiling import StepTimer, trace_steps
+
+    timer = StepTimer(clips_per_step=loader.batch_size)
     best_auc = -1.0
+    prev_loss = None
+    spike_dumped = False
     t0 = time.time()
     for epoch in range(start_epoch, cfg.optim.epochs):
         for it, batch in enumerate(loader.epoch(epoch)):
+            if profile_steps and int(state.step) == 2:
+                profiler_ctx = trace_steps(
+                    os.path.join(cfg.output_dir, "profile")
+                )
+                profiler_ctx.__enter__()
             state, m = step_fn(state, jax.numpy.asarray(batch))
+            if profile_steps and int(state.step) == 2 + profile_steps:
+                profiler_ctx.__exit__(None, None, None)
+                profile_steps = 0
+            timer.tick()
             loss = float(m.loss)
             if not np.isfinite(loss):
                 logger.error(f"Loss is {loss}, stopping training")
                 raise FloatingPointError(f"non-finite loss at step {int(state.step)}")
+            # loss-spike batch capture (main_predict.py:290-294: a >10 jump
+            # dumps the offending batch once per run to bug_data_detect/)
+            if (
+                prev_loss is not None
+                and abs(loss - prev_loss) > 10.0
+                and not spike_dumped
+            ):
+                from vadcl_tpu.viz.dumps import save_clip_frames
+
+                save_clip_frames(
+                    batch, os.path.join(cfg.output_dir, "bug_data_detect")
+                )
+                spike_dumped = True
+                logger.warning(
+                    f"loss jumped {prev_loss:.3f} -> {loss:.3f}; batch dumped"
+                )
+            prev_loss = loss
             logger.info(
-                "Epoch:[{}/{}]\t batch:[{}/{}]\t loss={:.5f}\t lr={:.7f}".format(
-                    epoch, cfg.optim.epochs, it, steps_per_epoch, loss, float(m.lr)
+                "Epoch:[{}/{}]\t batch:[{}/{}]\t loss={:.5f}\t lr={:.7f}\t "
+                "clips/s={:.1f}".format(
+                    epoch, cfg.optim.epochs, it, steps_per_epoch, loss,
+                    float(m.lr), timer.clips_per_sec,
                 )
             )
             if cfg.save_every_iters and int(state.step) % cfg.save_every_iters == 0:

@@ -80,11 +80,13 @@ def torch_adam(
     b2: float = 0.999,
     eps: float = 1e-8,
     gate_thresholds: Optional[Any] = None,
+    decoupled_wd: bool = False,
 ) -> optax.GradientTransformation:
     """torch.optim.Adam semantics with optional per-leaf step gating.
 
     Update per leaf (while step >= threshold):
-      g     <- g + wd * p
+      g     <- g + wd * p             (L2; with ``decoupled_wd`` this becomes
+                                       torch.optim.AdamW's  p -= lr * wd * p)
       m     <- b1 m + (1-b1) g        ; v <- b2 v + (1-b2) g^2
       t     <- t + 1                  (per-leaf, like torch per-param state)
       p     <- p - lr * (m / (1-b1^t)) / (sqrt(v / (1-b2^t)) + eps)
@@ -121,7 +123,9 @@ def torch_adam(
 
         def leaf_update(g, p, m, v, t, thr):
             gate = (step >= thr).astype(jnp.float32)
-            g = (g.astype(jnp.float32) + weight_decay * p.astype(jnp.float32)) * gate
+            g = g.astype(jnp.float32) * gate
+            if not decoupled_wd:
+                g = g + weight_decay * p.astype(jnp.float32) * gate
             new_m = jnp.where(gate > 0, b1 * m + (1 - b1) * g, m)
             new_v = jnp.where(gate > 0, b2 * v + (1 - b2) * g * g, v)
             new_t = t + (step >= thr).astype(jnp.int32)
@@ -131,6 +135,8 @@ def torch_adam(
             m_hat = new_m / (1.0 - b1**tf)
             v_hat = new_v / (1.0 - b2**tf)
             upd = -lr * m_hat / (jnp.sqrt(v_hat) + eps) * gate
+            if decoupled_wd:
+                upd = upd - lr * weight_decay * p.astype(jnp.float32) * gate
             return upd.astype(p.dtype), new_m, new_v, new_t
 
         flat = jax.tree_util.tree_map(
@@ -151,3 +157,81 @@ def torch_adam(
         return updates, TorchAdamState(count=new_count, mu=new_mu, nu=new_nu)
 
     return optax.GradientTransformation(init, update)
+
+
+class TorchSGDState(NamedTuple):
+    momentum: Any
+
+
+def torch_sgd(
+    learning_rate: Callable[[jax.Array], jax.Array] | float,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    gate_thresholds: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """torch.optim.SGD semantics (the reference's --optimizer sgd choice,
+    ``main_predict.py:88-90``) with the same per-leaf gating:
+      g <- g + wd * p;  buf <- mu * buf + g;  p <- p - lr * buf
+    """
+
+    def init(params):
+        return TorchSGDState(
+            momentum=jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32), params
+            )
+        )
+
+    def update(grads, state, params=None, *, step=None):
+        assert params is not None and step is not None
+        lr = (
+            learning_rate(step)
+            if callable(learning_rate)
+            else jnp.asarray(learning_rate, jnp.float32)
+        )
+        thresholds = gate_thresholds
+        if thresholds is None:
+            thresholds = jax.tree_util.tree_map(
+                lambda g: jnp.zeros((), jnp.int32), grads
+            )
+
+        def leaf(g, p, buf, thr):
+            gate = (step >= thr).astype(jnp.float32)
+            g = (g.astype(jnp.float32) + weight_decay * p.astype(jnp.float32)) * gate
+            new_buf = jnp.where(gate > 0, momentum * buf + g, buf)
+            upd = -lr * new_buf * gate
+            return upd.astype(p.dtype), new_buf
+
+        flat = jax.tree_util.tree_map(leaf, grads, params, state.momentum, thresholds)
+        is_leaf = lambda x: isinstance(x, tuple)
+        updates = jax.tree_util.tree_map(lambda x: x[0], flat, is_leaf=is_leaf)
+        new_buf = jax.tree_util.tree_map(lambda x: x[1], flat, is_leaf=is_leaf)
+        return updates, TorchSGDState(momentum=new_buf)
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_optimizer(
+    name: str,
+    learning_rate,
+    weight_decay: float,
+    b1: float,
+    b2: float,
+    eps: float,
+    gate_thresholds=None,
+) -> optax.GradientTransformation:
+    """Optimizer family switch (reference --optimizer choices + live Adam)."""
+    if name == "adam":
+        return torch_adam(
+            learning_rate, weight_decay, b1, b2, eps, gate_thresholds
+        )
+    if name == "adamw":
+        return torch_adam(
+            learning_rate, weight_decay, b1, b2, eps, gate_thresholds,
+            decoupled_wd=True,
+        )
+    if name == "sgd":
+        return torch_sgd(
+            learning_rate, momentum=b1, weight_decay=weight_decay,
+            gate_thresholds=gate_thresholds,
+        )
+    raise ValueError(f"unknown optimizer {name!r}")

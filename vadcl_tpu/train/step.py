@@ -30,16 +30,18 @@ from vadcl_tpu.core.config import Config
 from vadcl_tpu.models.backbone import VADModel
 from vadcl_tpu.ops.cluster import frobenius_norm
 from vadcl_tpu.train.optim import (
+    build_optimizer,
     cosine_epoch_lr,
     param_gate_thresholds,
-    torch_adam,
 )
 
 
 class TrainState(NamedTuple):
     step: jax.Array  # scalar int32
     params: Any
-    batch_stats: Any  # frozen-BN stats collection (constant unless loaded)
+    extras: Any  # non-param variable collections: frozen-BN batch_stats
+    #             (constant unless loaded) and, for memory backbones, the
+    #             MNAD memory bank (updated every step, like m_items)
     opt_state: Any
 
 
@@ -53,29 +55,45 @@ class StepMetrics(NamedTuple):
 
 
 def split_predict_batch(
-    clip: jax.Array, frame_num: int, predict: bool
+    clip: jax.Array, frame_num: int, predict: bool, overlap_quirk: bool = True
 ) -> Tuple[jax.Array, jax.Array]:
     """main_predict.py:234-241: predict mode feeds the first ``frame_num``
     frames and targets the LAST of them (the reference's quirky overlap —
     video[:, :, -1:] with video[:, :, 0:frame_num] both covering frame
-    frame_num-1 — is preserved); recon mode targets the full clip."""
+    frame_num-1 — is preserved); recon mode targets the full clip.
+
+    ``overlap_quirk=False`` gives the MNAD-proper split instead (inputs = all
+    but the last frame, target = the true future frame) used by the
+    convae_predict backbone."""
     if predict:
-        return clip[:, :frame_num], clip[:, frame_num - 1 : frame_num]
+        if overlap_quirk:
+            return clip[:, :frame_num], clip[:, frame_num - 1 : frame_num]
+        return clip[:, :-1], clip[:, -1:]
     return clip, clip
 
 
 def make_loss_fn(model: VADModel, cfg: Config):
     sched = cfg.schedule
+    predict = cfg.model.predict or cfg.model.backbone == "convae_predict"
+    overlap_quirk = cfg.model.backbone == "swin"
+    mutable_memory = cfg.model.backbone in ("convae", "convae_predict")
 
-    def loss_fn(params, batch_stats, clip, step):
+    def loss_fn(params, extras, clip, step):
         inputs, target = split_predict_batch(
-            clip, cfg.data.frame_num, cfg.model.predict
+            clip, cfg.data.frame_num, predict, overlap_quirk=overlap_quirk
         )
-        out = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            inputs,
-            deterministic=True,
-        )
+        variables = {"params": params, **extras}
+        if mutable_memory:
+            out, updates = model.apply(
+                variables,
+                inputs,
+                deterministic=False,
+                mutable=["memory"],
+            )
+            new_extras = {**extras, **updates}
+        else:
+            out = model.apply(variables, inputs, deterministic=True)
+            new_extras = extras
         err = out.recon.astype(jnp.float32) - target.astype(jnp.float32)
         loss_pixel = frobenius_norm(err * err)
         cluster_gate = (step >= sched.cluster_start_iter).astype(jnp.float32)
@@ -86,7 +104,7 @@ def make_loss_fn(model: VADModel, cfg: Config):
             + sched.cluster_weight * cluster_loss
             + sched.space_weight * space_loss
         )
-        return loss, (loss_pixel, cluster_loss, space_loss)
+        return loss, (loss_pixel, cluster_loss, space_loss, new_extras)
 
     return loss_fn
 
@@ -100,13 +118,17 @@ def create_train_state(
 ) -> Tuple[TrainState, Any]:
     """Initialize params + torch-Adam state; returns (state, tx)."""
     inputs, _ = split_predict_batch(
-        sample_clip, cfg.data.frame_num, cfg.model.predict
+        sample_clip,
+        cfg.data.frame_num,
+        cfg.model.predict or cfg.model.backbone == "convae_predict",
+        overlap_quirk=cfg.model.backbone == "swin",
     )
     # jit the init: eager init dispatches each op separately, which is
     # painfully slow through a remote-TPU tunnel
     variables = jax.jit(model.init)(rng, inputs)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    variables = dict(variables)
+    params = variables.pop("params")
+    extras = variables  # batch_stats, memory, ...
     lr = cosine_epoch_lr(
         cfg.optim.lr,
         cfg.optim.min_lr,
@@ -117,7 +139,8 @@ def create_train_state(
     gates = param_gate_thresholds(
         params, cluster_start_iter=cfg.schedule.cluster_train_start_iter
     )
-    tx = torch_adam(
+    tx = build_optimizer(
+        cfg.optim.optimizer,
         lr,
         weight_decay=cfg.optim.weight_decay,
         b1=cfg.optim.b1,
@@ -129,7 +152,7 @@ def create_train_state(
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        batch_stats=batch_stats,
+        extras=extras,
         opt_state=opt_state,
     )
     return state, tx
@@ -154,9 +177,9 @@ def make_train_step(
     )
 
     def step_fn(state: TrainState, clip: jax.Array):
-        (loss, (lp, lc, ls)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, clip, state.step
-        )
+        (loss, (lp, lc, ls, new_extras)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.extras, clip, state.step)
         finite = jnp.isfinite(loss)
         if cfg.optim.clip_grad > 0:
             gnorm = optax_global_norm(grads)
@@ -173,7 +196,7 @@ def make_train_step(
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
-            batch_stats=state.batch_stats,
+            extras=new_extras,
             opt_state=jax.tree_util.tree_map(
                 lambda n, o: jnp.where(finite, n, o), new_opt, state.opt_state
             ),

@@ -42,33 +42,70 @@ def _attn_kernel(
     wins, n, c = x_ref.shape
     hd = c // num_heads
     dtype = x_ref.dtype
-    # per-window 2D matmuls throughout: Mosaic's vector layout cannot merge
-    # the (wins, n) dims when n is not sublane-aligned (e.g. n=49)
+    bias = bias_mask_ref[0, 0:num_heads]  # (nH, n, n)
+
+    # qkv per window as 2D dots (a (wins, n, c) 3D dot hits Mosaic's
+    # unsupported-shape-cast for non-sublane-aligned n like 49)
+    qkvs = []
     for w in range(wins):
-        xw = x_ref[w]  # (n, c)
-        qkv = jnp.dot(xw, qkv_w_ref[:], preferred_element_type=jnp.float32)
-        qkv = (qkv + qkv_b_ref[0, :]).astype(dtype)
-        q = qkv[:, 0:c]
-        k = qkv[:, c : 2 * c]
-        v = qkv[:, 2 * c : 3 * c]
-        heads = []
-        for h in range(num_heads):
-            qh = q[:, h * hd : (h + 1) * hd]
-            kh = k[:, h * hd : (h + 1) * hd]
-            vh = v[:, h * hd : (h + 1) * hd]
-            s = (
-                jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        qw = jnp.dot(
+            x_ref[w], qkv_w_ref[:], preferred_element_type=jnp.float32
+        )
+        qkvs.append((qw + qkv_b_ref[0, :]).astype(dtype))  # (n, 3c)
+
+    def _wh_stack(base):
+        # (wins*nH, n, hd): window-major, head-minor.  Explicit lax slices —
+        # jnp None-indexing lowers via gather, unsupported in Mosaic.
+        parts = []
+        for w in range(wins):
+            for h in range(num_heads):
+                parts.append(
+                    jax.lax.expand_dims(
+                        jax.lax.slice_in_dim(
+                            qkvs[w], base + h * hd, base + (h + 1) * hd, axis=1
+                        ),
+                        (0,),
+                    )
                 )
-                * scale
-            )
-            s = s + bias_mask_ref[0, h] + bias_mask_ref[0, num_heads + w]
-            p = jax.nn.softmax(s, axis=-1).astype(dtype)
-            heads.append(
-                jnp.dot(p, vh, preferred_element_type=jnp.float32)
-            )
-        o = jnp.concatenate(heads, axis=-1).astype(dtype)  # (n, c)
+        return jnp.concatenate(parts, 0)
+
+    q4 = _wh_stack(0)
+    k4 = _wh_stack(c)
+    v4 = _wh_stack(2 * c)
+
+    # ONE batched scores dot + ONE softmax + ONE attn@V for the whole cell
+    s4 = (
+        jax.lax.dot_general(
+            q4, k4, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # (wins*nH, n, n)
+    parts = []
+    for w in range(wins):
+        sw = jax.lax.slice_in_dim(s4, w * num_heads, (w + 1) * num_heads, axis=0)
+        mw = jax.lax.expand_dims(bias_mask_ref[0, num_heads + w], (0,))
+        parts.append(sw + bias + mw)
+    s4 = jnp.concatenate(parts, 0)
+    p4 = jax.nn.softmax(s4, axis=-1).astype(dtype)
+    o4 = jax.lax.dot_general(
+        p4, v4, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (wins*nH, n, hd)
+
+    for w in range(wins):
+        o = jnp.concatenate(
+            [
+                jax.lax.squeeze(
+                    jax.lax.slice_in_dim(
+                        o4, w * num_heads + h, w * num_heads + h + 1, axis=0
+                    ),
+                    (0,),
+                )
+                for h in range(num_heads)
+            ],
+            axis=-1,
+        ).astype(dtype)  # (n, c)
         o2 = jnp.dot(o, proj_w_ref[:], preferred_element_type=jnp.float32)
         out_ref[w] = (o2 + proj_b_ref[0, :]).astype(out_ref.dtype)
 

@@ -110,8 +110,7 @@ class _Upsample(nn.Module):
             padding=[(0, 0), (1, 2), (1, 2)],  # (k-1-p, k-1-p+output_padding)
             lhs_dilation=(1, 2, 2),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype) + b.astype(x.dtype)
+        ) + b.astype(x.dtype)
         out = FrozenBatchNorm(eps=1e-5, dtype=self.dtype, name="bn")(out)
         return _from_2d(nn.relu(out))
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from vadcl_tpu.models.layers import DropPath, Mlp, layer_norm, torch_weight_init
 from vadcl_tpu.ops.convs import conv3d, patchify_matmul
-from vadcl_tpu.ops.pallas_attn import fused_window_attention
+from vadcl_tpu.ops.pallas_attn_bwd import fused_window_attention_trainable
 from vadcl_tpu.ops.window import (
     compute_attn_mask,
     get_window_size,
@@ -81,7 +81,7 @@ class WindowAttention3D(nn.Module):
             scale = self.qk_scale or head_dim**-0.5
             bias = table[np.asarray(rel_index[:N, :N]).reshape(-1)]
             bias = bias.reshape(N, N, -1).transpose(2, 0, 1)  # (nH, N, N)
-            out = fused_window_attention(
+            out = fused_window_attention_trainable(
                 x_windows.astype(self.dtype),
                 qkv_w,
                 qkv_b,
@@ -89,9 +89,9 @@ class WindowAttention3D(nn.Module):
                 proj_b,
                 bias,
                 jnp.asarray(mask) if mask is not None else None,
-                num_heads=self.num_heads,
-                n_windows=self.n_windows,
-                scale=scale,
+                self.num_heads,
+                self.n_windows,
+                scale,
             )
         else:
             out = window_attention(

@@ -42,9 +42,12 @@ def conv3d(
     b: Optional[jax.Array] = None,
     stride: IntOr3 = 1,
     padding: IntOr3 = 0,
-    preferred_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
-    """torch.nn.Conv3d semantics. x: (B, D, H, W, C); w: (kd, kh, kw, Cin, Cout)."""
+    """torch.nn.Conv3d semantics. x: (B, D, H, W, C); w: (kd, kh, kw, Cin, Cout).
+
+    No ``preferred_element_type`` override: TPU convs accumulate bf16 inputs in
+    fp32 on the MXU regardless, and a forced fp32 output breaks the conv VJP
+    under mixed precision (cotangent/operand dtype mismatch)."""
     s = _triple(stride)
     p = _triple(padding)
     out = lax.conv_general_dilated(
@@ -53,9 +56,7 @@ def conv3d(
         window_strides=s,
         padding=[(pi, pi) for pi in p],
         dimension_numbers=_DN,
-        preferred_element_type=preferred_dtype,
     )
-    out = out.astype(x.dtype)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
@@ -67,7 +68,6 @@ def conv_transpose3d(
     b: Optional[jax.Array] = None,
     stride: IntOr3 = 1,
     padding: IntOr3 = 0,
-    preferred_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """torch.nn.ConvTranspose3d semantics (output_padding=0).
 
@@ -89,9 +89,7 @@ def conv_transpose3d(
         padding=pads,
         lhs_dilation=s,
         dimension_numbers=_DN,
-        preferred_element_type=preferred_dtype,
     )
-    out = out.astype(x.dtype)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

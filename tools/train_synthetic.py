@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--predict", action="store_true")
+    ap.add_argument("--fused", action="store_true")
     ap.add_argument("--root", type=str, default="")
     args = ap.parse_args()
 
@@ -59,6 +60,7 @@ def main():
             decoder_depths=(1, 1),
             decoder_heads=(4, 2),
             predict=args.predict,
+            fused_attention=args.fused,
             cluster=ClusterConfig(
                 feature_clusters=16, space_clusters=8, space_size=size // 8
             ),

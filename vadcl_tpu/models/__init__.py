@@ -7,7 +7,7 @@ from vadcl_tpu.models.layers import (
 )
 from vadcl_tpu.models.swin import PatchEmbed3D, SwinBlock3D, SwinStage, WindowAttention3D
 from vadcl_tpu.models.encoder import SwinEncoder3D
-from vadcl_tpu.models.decoder import PatchDebed3D, SwinDecoder3D, UpSampling
+from vadcl_tpu.models.decoder import LegacySwinDecoder, PatchDebed3D, SwinDecoder3D, UpSampling
 from vadcl_tpu.models.cluster_heads import FeatureClusterHead, SpaceClusterHead
 from vadcl_tpu.models.backbone import VADModel, VADOutput
 from vadcl_tpu.models.unet3d import UNet3D
@@ -25,6 +25,7 @@ __all__ = [
     "SwinStage",
     "WindowAttention3D",
     "SwinEncoder3D",
+    "LegacySwinDecoder",
     "PatchDebed3D",
     "SwinDecoder3D",
     "UpSampling",

@@ -26,6 +26,7 @@ from vadcl_tpu.models.encoder import inception_channels
 from vadcl_tpu.models.layers import (
     Conv3d,
     ConvTranspose3d,
+    FrozenBatchNorm,
     InceptionModule,
     gelu,
     layer_norm,
@@ -74,6 +75,55 @@ class PatchDebed3D(nn.Module):
         x = ConvTranspose3d(
             self.out_channels, (3, 2, 2), stride=(1, 2, 2), padding=(1, 0, 0),
             dtype=self.dtype, name="deconv2",
+        )(x)
+        return x
+
+
+class LegacySwinDecoder(nn.Module):
+    """v1 conv-only decoder with skip-concat (``model/swin_decoder.py:102-160``,
+    superseded by SwinDecoder3D but part of the reference's model zoo).
+
+    Faithful to the original control flow, including its quirk: the
+    upsample/conv loop only executes its body for ``idx == 0``
+    (``model/swin_decoder.py:152-158``), so exactly one skip tap is consumed
+    before the final conv + ConvTranspose patch-debed.  The tap list follows
+    the reference's ``reverse(); [1:]`` ordering and the first used tap must
+    match x spatially.  (The torch original's final conv block declares
+    channel counts that cannot accept the loop's actual output — it is dead,
+    crashing code there; lazy shape inference makes this port runnable.)
+    """
+
+    in_chans: int
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, taps) -> jax.Array:
+        taps = list(taps)[::-1][1:]
+
+        def conv_bn_relu(y, cin, cout1, cout2, name):
+            y = Conv3d(cout1, (1, 3, 3), padding=(0, 1, 1), dtype=self.dtype,
+                       name=f"{name}_conv1")(y)
+            y = FrozenBatchNorm(eps=1e-3, dtype=self.dtype, name=f"{name}_bn1")(y)
+            y = nn.relu(y)
+            y = Conv3d(cout2, (1, 3, 3), padding=(0, 1, 1), dtype=self.dtype,
+                       name=f"{name}_conv2")(y)
+            y = FrozenBatchNorm(eps=1e-3, dtype=self.dtype, name=f"{name}_bn2")(y)
+            return nn.relu(y)
+
+        # idx == 0 iteration only (reference quirk)
+        c = self.in_chans
+        x = jnp.concatenate([x, taps[0].astype(x.dtype)], axis=-1)
+        x = conv_bn_relu(x, 2 * c, c, c // 2, "block0")
+        x = ConvTranspose3d(c // 2, (1, 2, 2), stride=(1, 2, 2),
+                            dtype=self.dtype, name="upsample0")(x)
+
+        x = conv_bn_relu(x, c // 2, c // 4, c // 4, "final")
+        # Patchdebed3D (v1): single ConvTranspose with k = s = patch
+        x = ConvTranspose3d(
+            self.out_channels, self.patch_size, stride=self.patch_size,
+            dtype=self.dtype, name="patchdebed",
         )(x)
         return x
 

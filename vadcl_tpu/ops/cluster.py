@@ -120,3 +120,32 @@ def frobenius_norm(x: jax.Array) -> jax.Array:
     """torch.norm(x) parity (Frobenius over the whole tensor, fp32)."""
     x = x.astype(jnp.float32)
     return jnp.sqrt(jnp.sum(x * x))
+
+
+def cluster_alpha_schedule(max_n: int = 40) -> "np.ndarray":
+    """The reference's annealing helper for the soft-assign temperature
+    (``model/cluster.py:15-24``, defined-but-unused in the live path):
+    alphas[0] = 0.1; alphas[i] = 2^(1/log(i+1)^2) * alphas[i-1]."""
+    import numpy as np
+
+    alphas = np.zeros(max_n, dtype=np.float64)
+    alphas[0] = 0.1
+    for i in range(1, max_n):
+        alphas[i] = (2 ** (1 / (np.log(i + 1)) ** 2)) * alphas[i - 1]
+    return alphas
+
+
+def l1_recon_loss(recon: jax.Array, target: jax.Array, patch_t: int = 2) -> jax.Array:
+    """Recon_Loss parity (``loss_tool/Recon_Loss.py:11-32``): pad the time
+    axis to a multiple of the temporal patch (edge-replicate the reference's
+    zero-pad? — it zero-pads via F.pad) then mean absolute error.
+    recon/target: (B, T, H, W, C)."""
+    t = target.shape[1]
+    pad = (-t) % patch_t
+    if pad:
+        cfg = ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0))
+        target = jnp.pad(target, cfg)
+        recon = jnp.pad(recon, cfg)
+    return jnp.mean(
+        jnp.abs(recon.astype(jnp.float32) - target.astype(jnp.float32))
+    )

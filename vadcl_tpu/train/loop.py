@@ -131,6 +131,10 @@ def train(
         ):
             auc = eval_fn(state)
             logger.info(f"epoch {epoch} AUC={auc:.4f}")
+            # auc_record capability (main_predict.py:198-199, 217-218; csv
+            # instead of xlsx)
+            with open(os.path.join(cfg.output_dir, "auc_record.csv"), "a") as f:
+                f.write(f"{epoch},{auc:.6f}\n")
             if auc > best_auc:
                 best_auc = auc
                 ckpt.save("best", state, {"epoch": epoch, "auc": auc})

@@ -234,4 +234,16 @@ def build_optimizer(
             learning_rate, momentum=b1, weight_decay=weight_decay,
             gate_thresholds=gate_thresholds,
         )
+    if name == "lars":
+        # capability parity with the DINO archive's LARS (有用的函数包.py:576);
+        # no staged gating (the reference never combined the two)
+        return optax.chain(
+            optax.lars(
+                learning_rate=lambda step: learning_rate(step)
+                if callable(learning_rate)
+                else learning_rate,
+                weight_decay=weight_decay,
+                momentum=b1,
+            )
+        )
     raise ValueError(f"unknown optimizer {name!r}")

@@ -255,6 +255,79 @@ def translate_torch_state(
     return params, stats, unmatched
 
 
+def inflate_swin2d(
+    state2d: Dict[str, np.ndarray],
+    window_size=(8, 7, 7),
+    patch_size=(2, 4, 4),
+) -> Dict[str, np.ndarray]:
+    """Inflate a 2D Swin checkpoint into the 3D encoder's parameter space
+    (capability parity with ``inflate_weights``,
+    ``model/swin_transformer.py:624-682``):
+
+    * ``patch_embed.proj.weight`` (C, 3, kh, kw) repeats over the temporal
+      kernel dim and divides by it;
+    * relative-position bias tables bicubic-resize in (h, w) if the window
+      differs, then tile (2*wd - 1) times over the temporal axis;
+    * linear/norm weights pass through the standard layout conversion.
+
+    Input keys use upstream Swin-2D naming (``layers.{i}.blocks.{j}...``);
+    output is a flat params dict under ``encoder/...`` suitable for
+    ``tolerant_merge``.
+    """
+    out: Dict[str, np.ndarray] = {}
+    wd, wh, ww = window_size
+    for key, v in state2d.items():
+        v = np.asarray(v)
+        if "relative_position_index" in key or "attn_mask" in key:
+            continue
+        if key == "patch_embed.proj.weight":
+            # (C, 3, kh, kw) -> repeat temporal taps, /kd (weight inflation)
+            kd = patch_size[0]
+            v3 = np.repeat(v[:, :, None], kd, axis=2) / kd  # (C, 3, kd, kh, kw)
+            out["encoder/patch_embed/kernel"] = np.transpose(v3, (2, 3, 4, 1, 0))
+            continue
+        if key == "patch_embed.proj.bias":
+            out["encoder/patch_embed/bias"] = v
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.blocks\.(\d+)\.(.*)", key)
+        if not m:
+            continue
+        base = f"encoder/stage{m.group(1)}/block{m.group(2)}"
+        rest = m.group(3)
+        if rest == "attn.relative_position_bias_table":
+            L1, nH = v.shape
+            S1 = int(round(L1**0.5))
+            L2 = (2 * wh - 1) * (2 * ww - 1)
+            if L1 != L2:
+                import jax.image
+                import jax.numpy as jnp
+
+                grid = v.reshape(S1, S1, nH)
+                grid = np.asarray(
+                    jax.image.resize(
+                        jnp.asarray(grid, jnp.float32),
+                        (2 * wh - 1, 2 * ww - 1, nH),
+                        method="bicubic",
+                    )
+                )
+                v = grid.reshape(L2, nH)
+            out[f"{base}/attn/relative_position_bias_table"] = np.tile(
+                v, (2 * wd - 1, 1)
+            )
+            continue
+        sub = _block_rename(rest)
+        if sub is None:
+            continue
+        path, kind = sub
+        if kind == "norm_scale":
+            out[f"{base}/{path}/scale"] = v
+        elif kind == "norm_bias":
+            out[f"{base}/{path}/bias"] = v
+        else:
+            out[f"{base}/{path}"] = _convert(kind, v)
+    return out
+
+
 def load_reference_checkpoint(path: str):
     """torch.load a reference .pth and translate (torch is a test/tooling
     dependency only)."""

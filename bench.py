@@ -76,7 +76,7 @@ def measure_ours() -> float:
     rng = np.random.RandomState(0)
 
     best = 0.0
-    for batch in (8, 16, 32):
+    for batch in (64, 128, 256):
         clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
         variables = jax.jit(model.init)(jax.random.key(0), clips[:1])
 

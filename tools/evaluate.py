@@ -45,6 +45,8 @@ def main():
                     choices=["stride1", "nonoverlap", "stride1_first_frame"])
     ap.add_argument("--batch-windows", type=int, default=8)
     ap.add_argument("--frame-num", type=int, default=4)
+    ap.add_argument("--image-size", type=int, default=0,
+                    help="override square eval resolution (must match training)")
     ap.add_argument("--fused", action="store_true",
                     help="fused Pallas attention (TPU)")
     ap.add_argument("--out", default="scores.npz")
@@ -58,6 +60,18 @@ def main():
             cfg.model, predict=args.predict, fused_attention=args.fused
         )
     )
+    if args.image_size:
+        cfg = cfg.replace(
+            data=dataclasses.replace(
+                cfg.data, image_size=(args.image_size, args.image_size)
+            ),
+            model=dataclasses.replace(
+                cfg.model,
+                cluster=dataclasses.replace(
+                    cfg.model.cluster, space_size=args.image_size // 8
+                ),
+            ),
+        )
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     model = VADModel(config=cfg.model, dtype=dtype)
     sample = jnp.zeros(

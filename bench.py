@@ -70,13 +70,13 @@ def measure_ours() -> float:
     from vadcl_tpu.core.config import ModelConfig
     from vadcl_tpu.models.backbone import VADModel
 
-    cfg = ModelConfig(predict=True, fused_attention=True)
+    cfg = ModelConfig(predict=True, fused_attention=True, fused_cluster=True)
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     model = VADModel(config=cfg, dtype=dtype)
     rng = np.random.RandomState(0)
 
     best = 0.0
-    for batch in (64, 128, 256):
+    for batch in (64, 128):
         clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
         variables = jax.jit(model.init)(jax.random.key(0), clips[:1])
 

@@ -57,7 +57,8 @@ def main():
     cfg = preset(args.preset)
     cfg = cfg.replace(
         model=dataclasses.replace(
-            cfg.model, predict=args.predict, fused_attention=args.fused
+            cfg.model, predict=args.predict, fused_attention=args.fused,
+            fused_cluster=args.fused
         )
     )
     if args.image_size:

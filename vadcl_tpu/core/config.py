@@ -62,6 +62,7 @@ class ModelConfig:
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     remat: bool = False  # jax.checkpoint per Swin block (reference use_checkpoint)
     fused_attention: bool = False  # Pallas fused window attention (inference)
+    fused_cluster: bool = False  # Pallas fused cluster assignment
     # memory-augmented alternates (reference model/Memory.py:63, conv_mae/*)
     memory_size: int = 10
     memory_dim: int = 512

@@ -99,6 +99,7 @@ class VADModel(nn.Module):
             fc = FeatureClusterHead(
                 clusters=cfg.cluster.feature_clusters,
                 alpha=cfg.cluster.feature_alpha,
+                fused=cfg.fused_cluster,
                 name="cluster1",
             )(x_for_cluster)
             sc = SpaceClusterHead(
@@ -107,7 +108,10 @@ class VADModel(nn.Module):
                 space_size=cfg.cluster.space_size,
                 name="space_cluster",
             )(x_for_cluster)
-            cluster_loss = frobenius_norm(fc.distance * fc.assign)
+            if fc.loss_sq_sum is not None:  # fused kernel reduced in VMEM
+                cluster_loss = jnp.sqrt(fc.loss_sq_sum)
+            else:
+                cluster_loss = frobenius_norm(fc.distance * fc.assign)
             space_loss = frobenius_norm(sc.distance * sc.assign)
             if cfg.compactness:
                 x = fc.recon.astype(self.dtype)

@@ -25,12 +25,13 @@ from vadcl_tpu.ops.cluster import (
 
 
 class FeatureClusterOut(NamedTuple):
-    distance: jax.Array  # (B, D, H, W, K)
-    assign: jax.Array  # (B, D, H, W, K)
+    distance: Optional[jax.Array]  # (B, D, H, W, K); None on the fused path
+    assign: Optional[jax.Array]  # (B, D, H, W, K); None on the fused path
     labels: jax.Array  # (B*D*H*W,) int32
     recon: jax.Array  # (B, D, H, W, C) soft reconstruction
     feature: jax.Array  # (B*D*H*W, C) LayerNormed tokens (t-SNE / viz tap)
-    center_self_distance: jax.Array  # (K, K)
+    center_self_distance: Optional[jax.Array]  # (K, K); None on the fused path
+    loss_sq_sum: Optional[jax.Array]  # fused path: sum((dist*assign)^2)
 
 
 class FeatureClusterHead(nn.Module):
@@ -39,18 +40,32 @@ class FeatureClusterHead(nn.Module):
 
     clusters: int = 1024
     alpha: float = 16.0
+    fused: bool = False  # Pallas kernel: dist/assign never leave VMEM
 
     @nn.compact
     def __call__(self, x: jax.Array) -> FeatureClusterOut:
-        C = x.shape[-1]
+        B, D, H, W, C = x.shape
         centers = self.param(
             "cluster_center",
             lambda key, shape: jax.random.uniform(key, shape, jnp.float32),
             (self.clusters, C),
         )
         xn = layer_norm(dtype=jnp.float32, name="norm")(x.astype(jnp.float32))
-        out: ClusterAssignment = feature_cluster_assign(xn, centers, self.alpha)
         feature = xn.reshape(-1, C)
+        if self.fused:
+            from vadcl_tpu.ops.pallas_cluster import fused_cluster_assign
+
+            fo = fused_cluster_assign(feature, centers, self.alpha)
+            return FeatureClusterOut(
+                distance=None,
+                assign=None,
+                labels=fo.labels,
+                recon=fo.recon.reshape(B, D, H, W, C).astype(x.dtype),
+                feature=feature,
+                center_self_distance=None,
+                loss_sq_sum=fo.loss_sq_sum,
+            )
+        out: ClusterAssignment = feature_cluster_assign(xn, centers, self.alpha)
         return FeatureClusterOut(
             distance=out.distance,
             assign=out.assign,
@@ -58,6 +73,7 @@ class FeatureClusterHead(nn.Module):
             recon=out.recon.astype(x.dtype),
             feature=feature,
             center_self_distance=out.center_self_distance,
+            loss_sq_sum=None,
         )
 
 

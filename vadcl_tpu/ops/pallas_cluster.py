@@ -1,0 +1,151 @@
+"""Fused Pallas cluster-assignment kernel (TPU).
+
+The XLA path of the feature cluster head materializes the (tokens, K) fp32
+distance and assignment tensors in HBM (at flagship batch 128 that is
+~820 MB each, several passes).  This kernel computes, per token tile held in
+VMEM:
+
+  cdist (one MXU matmul + norms, torch.cdist parity) -> first-occurrence
+  argmin labels -> NegSoftAssign(alpha) -> soft reconstruction assign@centers
+  -> in-kernel reduction of sum((dist * assign)^2)
+
+so only tokens in / (recon, labels) out + one scalar cross HBM.  The cluster
+loss is sqrt of the returned sum — exactly ``frobenius_norm(dist * assign)``.
+
+Forward is exact vs ``ops.cluster.feature_cluster_assign`` (all fp32).  A
+custom VJP backs it with the plain-JAX math (recompute), so it is safe under
+autodiff; the fast path is inference/eval where the clips/sec metric lives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vadcl_tpu.ops.cluster import cdist, neg_soft_assign
+
+
+def _cluster_kernel(
+    x_ref,  # (T, C) fp32 tokens (post-LayerNorm)
+    centers_ref,  # (K, C) fp32
+    recon_ref,  # (T, C) fp32 out
+    labels_ref,  # (T, 1) int32 out
+    loss_ref,  # (1, 1) fp32 accumulator: sum((d * assign)^2)
+    *,
+    alpha: float,
+):
+    t, c = x_ref.shape
+    k = centers_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        loss_ref[0, 0] = jnp.float32(0.0)
+
+    x = x_ref[:]
+    cen = centers_ref[:]
+    cross = jax.lax.dot_general(
+        x, cen, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (T, K)
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
+    c_sq = jnp.sum(cen * cen, axis=1, keepdims=True)  # (K, 1)
+    d2 = x_sq + c_sq.reshape(1, k) - 2.0 * cross
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))  # torch.cdist parity
+
+    d_min = jnp.min(d, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
+    labels = jnp.min(jnp.where(d == d_min, col, k), axis=1)  # first argmin
+    labels_ref[:] = labels.reshape(t, 1)
+
+    e = jnp.exp(-alpha * (d - d_min))
+    assign = e / jnp.sum(e, axis=1, keepdims=True)
+
+    da = d * assign
+    loss_ref[0, 0] += jnp.sum(da * da)
+
+    recon_ref[:] = jnp.dot(
+        assign, cen, preferred_element_type=jnp.float32
+    )
+
+
+class FusedClusterOut(NamedTuple):
+    recon: jax.Array  # (N, C) fp32
+    labels: jax.Array  # (N,) int32
+    loss_sq_sum: jax.Array  # scalar fp32: sum((dist*assign)^2)
+
+
+def _forward_pallas(
+    tokens: jax.Array, centers: jax.Array, alpha: float, interpret: bool
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    n, c = tokens.shape
+    tile = 512
+    while n % tile != 0:
+        tile //= 2
+    grid = (n // tile,)
+    recon, labels, loss = pl.pallas_call(
+        functools.partial(_cluster_kernel, alpha=alpha),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(tokens.astype(jnp.float32), centers.astype(jnp.float32))
+    return recon, labels.reshape(-1), loss[0, 0]
+
+
+def _forward_xla(tokens, centers, alpha):
+    """Plain-JAX equivalent (the autodiff path for the custom VJP)."""
+    d = cdist(tokens, centers)
+    assign = neg_soft_assign(d, alpha)
+    recon = jnp.einsum(
+        "nk,kc->nc", assign, centers.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    da = d * assign
+    return recon, jnp.sum(da * da)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_cluster_assign(
+    tokens: jax.Array,  # (N, C) post-LayerNorm tokens
+    centers: jax.Array,  # (K, C)
+    alpha: float,
+    interpret: bool = False,
+) -> FusedClusterOut:
+    recon, labels, loss = _forward_pallas(tokens, centers, alpha, interpret)
+    return FusedClusterOut(recon=recon, labels=labels, loss_sq_sum=loss)
+
+
+def _fwd(tokens, centers, alpha, interpret):
+    out = fused_cluster_assign(tokens, centers, alpha, interpret)
+    return out, (tokens, centers)
+
+
+def _bwd(alpha, interpret, res, cot: FusedClusterOut):
+    tokens, centers = res
+
+    def f(t, c):
+        recon, loss_sq = _forward_xla(t, c, alpha)
+        return recon, loss_sq
+
+    _, vjp = jax.vjp(f, tokens.astype(jnp.float32), centers.astype(jnp.float32))
+    d_tokens, d_centers = vjp((cot.recon, cot.loss_sq_sum))
+    return d_tokens.astype(tokens.dtype), d_centers.astype(centers.dtype)
+
+
+fused_cluster_assign.defvjp(_fwd, _bwd)

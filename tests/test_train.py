@@ -209,3 +209,63 @@ def test_torch_sgd_matches_torch():
     np.testing.assert_allclose(
         np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6
     )
+
+
+def test_compactness_start_iter_gates_dataflow():
+    """Before compactness_start_iter: clustering is detached and the decoder
+    sees encoder features; after: gradients flow to the cluster centers from
+    the pixel loss (the staged encoder_compatness() flip)."""
+    from vadcl_tpu.train.step import make_loss_fn
+
+    cfg = dataclasses.replace(
+        TINY,
+        schedule=ScheduleConfig(compactness_start_iter=5),
+    )
+    model = VADModel(config=cfg.model)
+    clip = jnp.asarray(np.random.RandomState(0).rand(1, 4, 56, 56, 3), jnp.float32)
+    state_vars = model.init(jax.random.key(0), clip)
+    params = state_vars["params"]
+    extras = {k: v for k, v in state_vars.items() if k != "params"}
+    loss_fn = make_loss_fn(model, cfg)
+
+    def center_grad(step):
+        g = jax.grad(
+            lambda p: loss_fn(p, extras, clip, jnp.asarray(step, jnp.int32))[0]
+        )(params)
+        return float(jnp.sum(jnp.abs(g["cluster1"]["cluster_center"])))
+
+    # cluster losses are gated ON at step 0 (cluster_start_iter=0), so center
+    # grads exist either way; the *pixel* path through assign@centers only
+    # opens at the gate. Check encoder grads from cluster losses instead:
+    def encoder_grad_from_cluster(step):
+        def f(p):
+            loss, (lp, lc, ls, _) = loss_fn(p, extras, clip, jnp.asarray(step))
+            return lc + ls
+        g = jax.grad(f)(params)
+        return sum(
+            float(jnp.sum(jnp.abs(l)))
+            for l in jax.tree_util.tree_leaves(g["encoder"])
+        )
+
+    assert encoder_grad_from_cluster(0) == 0.0  # detached before the gate
+    assert encoder_grad_from_cluster(5) > 0.0  # flows after the gate
+
+
+def test_dropout_active_when_configured():
+    """drop_path_rate > 0 must change training outputs across steps (the
+    regularization knobs may not be silently inert)."""
+    from vadcl_tpu.train.step import make_loss_fn
+
+    cfg = dataclasses.replace(
+        TINY,
+        model=dataclasses.replace(TINY_MODEL, drop_path_rate=0.5),
+    )
+    model = VADModel(config=cfg.model)
+    clip = jnp.asarray(np.random.RandomState(0).rand(2, 4, 56, 56, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), clip)
+    params = variables["params"]
+    extras = {k: v for k, v in variables.items() if k != "params"}
+    loss_fn = make_loss_fn(model, cfg)
+    l1 = float(loss_fn(params, extras, clip, jnp.asarray(0))[0])
+    l2 = float(loss_fn(params, extras, clip, jnp.asarray(1))[0])
+    assert l1 != l2  # different dropout draws per step

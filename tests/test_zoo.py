@@ -69,3 +69,14 @@ def test_convae_predict_split_semantics():
     step = make_train_step(model, cfg, tx, 10)
     state, m = step(state, clip)
     assert np.isfinite(float(m.loss))
+
+
+def test_convae_plain_apply_for_eval():
+    """Eval paths use plain model.apply (no mutable): must not crash and must
+    not mutate the memory bank (review finding regression test)."""
+    cfg = _cfg("convae")
+    model = VADModel(config=cfg.model)
+    clip = _clip(4)
+    variables = model.init(jax.random.key(0), clip)
+    out = model.apply(variables, clip)  # deterministic=True -> eval path
+    assert out.recon.shape == (2, 4, 32, 32, 3)

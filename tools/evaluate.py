@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--frame-num", type=int, default=4)
     ap.add_argument("--image-size", type=int, default=0,
                     help="override square eval resolution (must match training)")
+    ap.add_argument("--backbone", default="swin",
+                    choices=["swin", "unet3d", "convae", "convae_predict"])
     ap.add_argument("--fused", action="store_true",
                     help="fused Pallas attention (TPU)")
     ap.add_argument("--out", default="scores.npz")
@@ -55,10 +57,11 @@ def main():
     import dataclasses
 
     cfg = preset(args.preset)
+    predict = args.predict or args.backbone == "convae_predict"
     cfg = cfg.replace(
         model=dataclasses.replace(
-            cfg.model, predict=args.predict, fused_attention=args.fused,
-            fused_cluster=args.fused
+            cfg.model, predict=args.predict, backbone=args.backbone,
+            fused_attention=args.fused, fused_cluster=args.fused
         )
     )
     if args.image_size:
@@ -75,8 +78,12 @@ def main():
         )
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     model = VADModel(config=cfg.model, dtype=dtype)
+    # convae_predict consumes frame_num-1 input frames (true-future target)
+    model_frames = (
+        args.frame_num - 1 if args.backbone == "convae_predict" else args.frame_num
+    )
     sample = jnp.zeros(
-        (1, args.frame_num, *cfg.data.image_size, 3), jnp.float32
+        (1, model_frames, *cfg.data.image_size, 3), jnp.float32
     )
     variables = jax.jit(model.init)(jax.random.key(0), sample)
 
@@ -105,12 +112,14 @@ def main():
         print(f"checkpoint: {len(hits)} loaded, {len(misses)} kept at init")
 
     def apply_fn(clips):
+        if args.backbone == "convae_predict":
+            clips = clips[:, :-1]  # model never sees the target frame
         return model.apply(variables, clips).recon
 
     scorer = make_window_scorer(
         apply_fn,
         frame_num=args.frame_num,
-        predict=args.predict,
+        predict=predict,
         batch_windows=args.batch_windows,
         first_frame_quirk=args.protocol == "stride1_first_frame",
     )
@@ -126,7 +135,7 @@ def main():
         scorer,
         ds.iter_test_videos(),
         frame_num=args.frame_num,
-        predict=args.predict,
+        predict=predict,
         protocol=proto,
     )
     for scene, a in sorted(per_scene.items()):

@@ -39,25 +39,31 @@ def build_eval_fn(cfg, test_dir, label_dir):
         label_root=label_dir,
         istest=True,
     )
-    model = VADModel(config=cfg.model, dtype=jnp.bfloat16)
+    dtype = (
+        jnp.bfloat16 if cfg.bf16 and jax.default_backend() != "cpu" else jnp.float32
+    )
+    model = VADModel(config=cfg.model, dtype=dtype)
+    predict = cfg.model.predict or cfg.model.backbone == "convae_predict"
 
     def eval_fn(state) -> float:
         variables = {"params": state.params, **state.extras}
 
         def apply_fn(clips):
+            if cfg.model.backbone == "convae_predict":
+                clips = clips[:, :-1]  # model never sees the target frame
             return model.apply(variables, clips).recon
 
         scorer = make_window_scorer(
             apply_fn,
             frame_num=cfg.data.frame_num,
-            predict=cfg.model.predict,
+            predict=predict,
             batch_windows=cfg.eval.batch_windows,
         )
         auc, per_scene, _ = evaluate_videos(
             scorer,
             test_ds.iter_test_videos(),
             frame_num=cfg.data.frame_num,
-            predict=cfg.model.predict,
+            predict=predict,
             protocol=cfg.eval.protocol,
         )
         print("per-scene AUC:", {k: round(v, 4) for k, v in per_scene.items()})
@@ -84,6 +90,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cluster-start-iter", type=int, default=0)
     ap.add_argument("--no-cluster", action="store_true")
+    ap.add_argument("--backbone", default="swin",
+                    choices=["swin", "unet3d", "convae", "convae_predict"])
     args = ap.parse_args()
 
     maybe_initialize_distributed()
@@ -99,6 +107,7 @@ def main():
         model=dataclasses.replace(
             cfg.model,
             predict=args.predict,
+            backbone=args.backbone,
             use_cluster=not args.no_cluster,
         ),
         schedule=dataclasses.replace(

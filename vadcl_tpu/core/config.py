@@ -78,8 +78,6 @@ class DataConfig:
     label_path: str = ""
     frame_num: int = 4
     image_size: Tuple[int, int] = (224, 224)
-    index_num: int = 3  # zero-padded digits in frame filenames, e.g. 001.jpg
-    image_format: str = "jpg"
     num_workers: int = 8
     prefetch: int = 2
 
@@ -117,8 +115,14 @@ class ScheduleConfig:
 
     cluster_start_iter: int = 0  # iteration at which cluster losses turn on
     cluster_train_start_iter: int = 0  # iteration at which cluster centers train
-    compactness_start_iter: int = 0  # decode-from-cluster-recon from this iter
-    freeze_bn: bool = True  # frozen-stats batch norm (misc/utils.py:205)
+    # iteration at which compactness engages: before it, cluster inputs are
+    # stop-gradiented and the decoder consumes encoder features; from it, the
+    # decoder consumes assign@centers with gradients flowing (the reference's
+    # encoder_compatness() flip). Requires ModelConfig.compactness=True.
+    compactness_start_iter: int = 0
+    # NOTE: BatchNorm is always frozen-stats — the live reference freezes every
+    # BN at iteration 0 (misc/utils.py:205, main_predict.py:257); there is no
+    # trainable-BN mode to configure.
     # loss weights; the reference adds the terms unweighted
     # (main_predict.py:284) but notes a working range of 1e4-2e4
     # in 实验小笔记.txt:2 — expose them as knobs.
@@ -139,7 +143,6 @@ class EvalConfig:
 
     protocol: str = "stride1"
     batch_windows: int = 8  # windows batched per device step
-    pad_bucket: int = 64  # videos padded to multiples of this many windows
 
 
 @dataclass(frozen=True)

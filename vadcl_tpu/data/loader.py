@@ -68,23 +68,48 @@ class HostDataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that honors `stop`: an abandoned iterator must not
+            # leave the producer blocked on a full queue forever
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        error = []
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for i in range(0, len(idx), self.batch_size):
-                    if stop.is_set():
-                        return
-                    chunk = idx[i : i + self.batch_size]
-                    clips = list(pool.map(self.dataset.get_clip, chunk))
-                    out_q.put(np.stack(clips))
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for i in range(0, len(idx), self.batch_size):
+                        if stop.is_set():
+                            return
+                        chunk = idx[i : i + self.batch_size]
+                        clips = list(pool.map(self.dataset.get_clip, chunk))
+                        if not put(np.stack(clips)):
+                            return
+            except Exception as e:  # surface decode errors to the consumer
+                error.append(e)
+            finally:
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                batch = out_q.get()
+                try:
+                    batch = out_q.get(timeout=1.0)
+                except queue.Empty:
+                    if not t.is_alive():
+                        break
+                    continue
                 if batch is None:
-                    return
+                    break
                 yield batch
+            if error:
+                raise error[0]
         finally:
             stop.set()

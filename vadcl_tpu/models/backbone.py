@@ -64,7 +64,13 @@ class VADModel(nn.Module):
         clip: jax.Array,  # (B, D, H, W, 3) in [0, 1]
         deterministic: bool = True,
         detach_cluster_input: Optional[bool] = None,
+        compactness_gate: Optional[jax.Array] = None,
     ) -> VADOutput:
+        """``compactness_gate`` (traced 0/1 scalar) implements the staged
+        ``encoder_compatness()`` flip (ScheduleConfig.compactness_start_iter)
+        without recompiles: gate=0 -> detached clustering + decode encoder
+        features; gate=1 -> gradients flow and the decoder consumes
+        assign@centers.  ``None`` keeps the static cfg.compactness behavior."""
         cfg = self.config
         if cfg.backbone != "swin":
             return self._alt_backbone(clip, deterministic)
@@ -93,9 +99,14 @@ class VADModel(nn.Module):
             detach_cluster_input = not cfg.compactness
 
         if cfg.use_cluster:
-            x_for_cluster = (
-                jax.lax.stop_gradient(x) if detach_cluster_input else x
-            )
+            if compactness_gate is not None and cfg.compactness:
+                g = compactness_gate.astype(x.dtype)
+                # d/dx of (g*x + (1-g)*sg(x)) is g: gradient flows iff gate on
+                x_for_cluster = g * x + (1 - g) * jax.lax.stop_gradient(x)
+            else:
+                x_for_cluster = (
+                    jax.lax.stop_gradient(x) if detach_cluster_input else x
+                )
             fc = FeatureClusterHead(
                 clusters=cfg.cluster.feature_clusters,
                 alpha=cfg.cluster.feature_alpha,
@@ -114,7 +125,11 @@ class VADModel(nn.Module):
                 cluster_loss = frobenius_norm(fc.distance * fc.assign)
             space_loss = frobenius_norm(sc.distance * sc.assign)
             if cfg.compactness:
-                x = fc.recon.astype(self.dtype)
+                if compactness_gate is not None:
+                    g = compactness_gate.astype(self.dtype)
+                    x = g * fc.recon.astype(self.dtype) + (1 - g) * x
+                else:
+                    x = fc.recon.astype(self.dtype)
             feature = fc.feature
             feature_label = fc.labels
             cluster_assign: Optional[jax.Array] = fc.assign

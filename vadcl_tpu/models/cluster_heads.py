@@ -9,7 +9,7 @@ parameters are not materialized (they were frozen, unused buffers).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax

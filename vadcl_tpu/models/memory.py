@@ -60,10 +60,12 @@ class MemoryModule(nn.Module):
         read = memory_read(q, keys)
         if train:
             new_keys = memory_update(q, keys)
+            if not self.is_initializing():
+                # only written on the training path (train step applies with
+                # mutable=['memory']); eval/viz use plain apply with train=False
+                keys_var.value = new_keys
         else:
             new_keys = keys
-        if not self.is_initializing():
-            keys_var.value = new_keys
         return MemoryOut(
             updated_query=read.updated_query,
             keys=new_keys,

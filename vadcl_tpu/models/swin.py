@@ -76,6 +76,10 @@ class WindowAttention3D(nn.Module):
         )
         rel_index = relative_position_index(self.window_size)
         if self.fused:
+            assert self.attn_drop == 0.0 or deterministic, (
+                "fused attention kernel has no attention-dropout path; "
+                "train with fused=False when attn_drop_rate > 0"
+            )
             N = x_windows.shape[1]
             head_dim = self.dim // self.num_heads
             scale = self.qk_scale or head_dim**-0.5

@@ -57,7 +57,12 @@ def train(
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    model = VADModel(config=cfg.model)
+    dtype = (
+        jax.numpy.bfloat16
+        if cfg.bf16 and jax.default_backend() != "cpu"
+        else jax.numpy.float32
+    )
+    model = VADModel(config=cfg.model, dtype=dtype)
     steps_per_epoch = loader.steps_per_epoch()
     sample = next(iter(loader.epoch(0)))
     state, tx = create_train_state(
@@ -79,17 +84,21 @@ def train(
     best_auc = -1.0
     prev_loss = None
     spike_dumped = False
+    profiler_ctx = None
+    profile_stop_at = None
     t0 = time.time()
     for epoch in range(start_epoch, cfg.optim.epochs):
         for it, batch in enumerate(loader.epoch(epoch)):
-            if profile_steps and int(state.step) == 2:
+            if profile_steps and profiler_ctx is None and int(state.step) >= 2:
                 profiler_ctx = trace_steps(
                     os.path.join(cfg.output_dir, "profile")
                 )
                 profiler_ctx.__enter__()
+                profile_stop_at = int(state.step) + profile_steps
             state, m = step_fn(state, jax.numpy.asarray(batch))
-            if profile_steps and int(state.step) == 2 + profile_steps:
+            if profiler_ctx is not None and int(state.step) >= profile_stop_at:
                 profiler_ctx.__exit__(None, None, None)
+                profiler_ctx = None
                 profile_steps = 0
             timer.tick()
             loss = float(m.loss)

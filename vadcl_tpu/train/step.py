@@ -77,22 +77,45 @@ def make_loss_fn(model: VADModel, cfg: Config):
     predict = cfg.model.predict or cfg.model.backbone == "convae_predict"
     overlap_quirk = cfg.model.backbone == "swin"
     mutable_memory = cfg.model.backbone in ("convae", "convae_predict")
+    stochastic = (
+        cfg.model.drop_rate > 0
+        or cfg.model.attn_drop_rate > 0
+        or cfg.model.drop_path_rate > 0
+    )
+    dropout_root = jax.random.key(cfg.seed + 0x5EED)
 
     def loss_fn(params, extras, clip, step):
         inputs, target = split_predict_batch(
             clip, cfg.data.frame_num, predict, overlap_quirk=overlap_quirk
         )
         variables = {"params": params, **extras}
+        rngs = (
+            {"dropout": jax.random.fold_in(dropout_root, step)}
+            if stochastic
+            else None
+        )
         if mutable_memory:
             out, updates = model.apply(
                 variables,
                 inputs,
-                deterministic=False,
+                deterministic=False,  # train mode drives the MNAD bank update
                 mutable=["memory"],
+                rngs=rngs,
             )
             new_extras = {**extras, **updates}
         else:
-            out = model.apply(variables, inputs, deterministic=True)
+            compact_gate = None
+            if cfg.model.backbone == "swin" and cfg.model.compactness:
+                compact_gate = (
+                    step >= sched.compactness_start_iter
+                ).astype(jnp.float32)
+            out = model.apply(
+                variables,
+                inputs,
+                deterministic=not stochastic,
+                compactness_gate=compact_gate,
+                rngs=rngs,
+            )
             new_extras = extras
         err = out.recon.astype(jnp.float32) - target.astype(jnp.float32)
         loss_pixel = frobenius_norm(err * err)

@@ -82,10 +82,39 @@ def train(
 
     timer = StepTimer(clips_per_step=loader.batch_size)
     best_auc = -1.0
-    prev_loss = None
-    spike_dumped = False
+    state_box = {"prev_loss": None, "spike_dumped": False}
+
+    def process_metrics(m_host, epoch_h, it_h, batch_h, step_h):
+        """Host-side guards + logging for one step's metrics."""
+        loss = float(m_host.loss)
+        if not np.isfinite(loss):
+            logger.error(f"Loss is {loss}, stopping training")
+            raise FloatingPointError(f"non-finite loss at step {step_h}")
+        # loss-spike batch capture (main_predict.py:290-294: a >10 jump
+        # dumps the offending batch once per run to bug_data_detect/)
+        prev = state_box["prev_loss"]
+        if prev is not None and abs(loss - prev) > 10.0 and not state_box[
+            "spike_dumped"
+        ]:
+            from vadcl_tpu.viz.dumps import save_clip_frames
+
+            save_clip_frames(
+                batch_h, os.path.join(cfg.output_dir, "bug_data_detect")
+            )
+            state_box["spike_dumped"] = True
+            logger.warning(f"loss jumped {prev:.3f} -> {loss:.3f}; batch dumped")
+        state_box["prev_loss"] = loss
+        logger.info(
+            "Epoch:[{}/{}]\t batch:[{}/{}]\t loss={:.5f}\t lr={:.7f}\t "
+            "clips/s={:.1f}".format(
+                epoch_h, cfg.optim.epochs, it_h, steps_per_epoch, loss,
+                float(m_host.lr), timer.clips_per_sec,
+            )
+        )
+
     profiler_ctx = None
     profile_stop_at = None
+    lagged = None
     t0 = time.time()
     for epoch in range(start_epoch, cfg.optim.epochs):
         for it, batch in enumerate(loader.epoch(epoch)):
@@ -101,37 +130,17 @@ def train(
                 profiler_ctx = None
                 profile_steps = 0
             timer.tick()
-            loss = float(m.loss)
-            if not np.isfinite(loss):
-                logger.error(f"Loss is {loss}, stopping training")
-                raise FloatingPointError(f"non-finite loss at step {int(state.step)}")
-            # loss-spike batch capture (main_predict.py:290-294: a >10 jump
-            # dumps the offending batch once per run to bug_data_detect/)
-            if (
-                prev_loss is not None
-                and abs(loss - prev_loss) > 10.0
-                and not spike_dumped
-            ):
-                from vadcl_tpu.viz.dumps import save_clip_frames
-
-                save_clip_frames(
-                    batch, os.path.join(cfg.output_dir, "bug_data_detect")
-                )
-                spike_dumped = True
-                logger.warning(
-                    f"loss jumped {prev_loss:.3f} -> {loss:.3f}; batch dumped"
-                )
-            prev_loss = loss
-            logger.info(
-                "Epoch:[{}/{}]\t batch:[{}/{}]\t loss={:.5f}\t lr={:.7f}\t "
-                "clips/s={:.1f}".format(
-                    epoch, cfg.optim.epochs, it, steps_per_epoch, loss,
-                    float(m.lr), timer.clips_per_sec,
-                )
-            )
+            # Consume metrics with a ONE-STEP LAG: float(loss) blocks on the
+            # device (a full roundtrip through remote-TPU tunnels), which
+            # would serialize host dispatch against device compute.  Guards
+            # react one step late — same abort semantics, overlapped execution.
+            if lagged is not None:
+                process_metrics(*lagged)
+            lagged = (m, epoch, it, batch, int(state.step))
             if cfg.save_every_iters and int(state.step) % cfg.save_every_iters == 0:
                 ckpt.save(str(int(state.step)), state, {"epoch": epoch})
             if max_steps is not None and int(state.step) >= max_steps:
+                process_metrics(*lagged)
                 return state
         if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
             ckpt.save(str(int(state.step)), state, {"epoch": epoch})
@@ -147,5 +156,7 @@ def train(
             if auc > best_auc:
                 best_auc = auc
                 ckpt.save("best", state, {"epoch": epoch, "auc": auc})
+    if lagged is not None:
+        process_metrics(*lagged)  # drain the final lagged step
     logger.info(f"training done in {time.time() - t0:.1f}s")
     return state

@@ -67,7 +67,9 @@ def test_fused_cluster_in_model():
     import vadcl_tpu.ops.pallas_cluster as pc
 
     orig = pc._forward_pallas
+    orig_sp = pc._space_forward_pallas
     pc._forward_pallas = lambda t, c, a, i: orig(t, c, a, True)
+    pc._space_forward_pallas = lambda m, c, a, i: orig_sp(m, c, a, True)
     try:
         model = VADModel(config=cfg)
         x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 56, 56, 3), jnp.float32)
@@ -86,3 +88,35 @@ def test_fused_cluster_in_model():
         )
     finally:
         pc._forward_pallas = orig
+        pc._space_forward_pallas = orig_sp
+
+
+def test_fused_space_cluster_matches_xla():
+    from vadcl_tpu.ops.cluster import space_cluster_assign
+    from vadcl_tpu.ops.pallas_cluster import fused_space_cluster_loss
+
+    rng = np.random.RandomState(3)
+    B, D, H, W, C, K = 2, 2, 7, 7, 8, 6
+    x = jnp.asarray(rng.randn(B, D, H, W, C), jnp.float32)
+    centers = jnp.asarray(rng.rand(C, K, H * W), jnp.float32)
+    maps = x.transpose(4, 0, 1, 2, 3).reshape(C, B * D, H * W)
+    got = float(fused_space_cluster_loss(maps, centers, 32.0, True))
+    ref = space_cluster_assign(x, centers, 32.0)
+    want = float(jnp.sum((ref.distance * ref.assign) ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # gradients through the custom VJP
+    g1 = jax.grad(
+        lambda m, c: jnp.sqrt(fused_space_cluster_loss(m, c, 32.0, True)),
+        argnums=(0, 1),
+    )(maps, centers)
+    from vadcl_tpu.ops.cluster import cdist, neg_soft_assign
+
+    def xla_loss(m, c):
+        d = cdist(m, c)
+        a = neg_soft_assign(d, 32.0)
+        return jnp.sqrt(jnp.sum((d * a) ** 2))
+
+    g2 = jax.grad(xla_loss, argnums=(0, 1))(maps, centers)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -117,13 +117,17 @@ class VADModel(nn.Module):
                 clusters=cfg.cluster.space_clusters,
                 alpha=cfg.cluster.space_alpha,
                 space_size=cfg.cluster.space_size,
+                fused=cfg.fused_cluster,
                 name="space_cluster",
             )(x_for_cluster)
             if fc.loss_sq_sum is not None:  # fused kernel reduced in VMEM
                 cluster_loss = jnp.sqrt(fc.loss_sq_sum)
             else:
                 cluster_loss = frobenius_norm(fc.distance * fc.assign)
-            space_loss = frobenius_norm(sc.distance * sc.assign)
+            if sc.loss_sq_sum is not None:
+                space_loss = jnp.sqrt(sc.loss_sq_sum)
+            else:
+                space_loss = frobenius_norm(sc.distance * sc.assign)
             if cfg.compactness:
                 if compactness_gate is not None:
                     g = compactness_gate.astype(self.dtype)

@@ -77,6 +77,13 @@ class FeatureClusterHead(nn.Module):
         )
 
 
+class SpaceClusterOut(NamedTuple):
+    distance: Optional[jax.Array]  # (B, D, C, K); None on the fused path
+    assign: Optional[jax.Array]  # (B, D, C, K); None on the fused path
+    center_self_distance: Optional[jax.Array]  # (C, K, K); None when fused
+    loss_sq_sum: Optional[jax.Array]  # fused path: sum((dist*assign)^2)
+
+
 class SpaceClusterHead(nn.Module):
     """Space_EuclidDistance_Assign_Module parity (``model/cluster.py:102-149``):
     per-channel clustering of (space_size^2)-d spatial maps, K=128, alpha=32."""
@@ -84,9 +91,10 @@ class SpaceClusterHead(nn.Module):
     clusters: int = 128
     alpha: float = 32.0
     space_size: int = 28
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> SpaceClusterAssignment:
+    def __call__(self, x: jax.Array) -> SpaceClusterOut:
         B, D, H, W, C = x.shape
         assert H * W == self.space_size * self.space_size, (
             f"space head configured for {self.space_size}^2 spatial maps, "
@@ -98,4 +106,19 @@ class SpaceClusterHead(nn.Module):
             (C, self.clusters, self.space_size * self.space_size),
         )
         xn = layer_norm(dtype=jnp.float32, name="norm")(x.astype(jnp.float32))
-        return space_cluster_assign(xn, centers, self.alpha)
+        if self.fused:
+            from vadcl_tpu.ops.pallas_cluster import fused_space_cluster_loss
+
+            maps = xn.transpose(4, 0, 1, 2, 3).reshape(C, B * D, H * W)
+            loss_sq = fused_space_cluster_loss(maps, centers, self.alpha)
+            return SpaceClusterOut(
+                distance=None, assign=None, center_self_distance=None,
+                loss_sq_sum=loss_sq,
+            )
+        out = space_cluster_assign(xn, centers, self.alpha)
+        return SpaceClusterOut(
+            distance=out.distance,
+            assign=out.assign,
+            center_self_distance=out.center_self_distance,
+            loss_sq_sum=None,
+        )

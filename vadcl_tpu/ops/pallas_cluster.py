@@ -149,3 +149,94 @@ def _bwd(alpha, interpret, res, cot: FusedClusterOut):
 
 
 fused_cluster_assign.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Spatial-pattern head (model/cluster.py:102-149): per-channel clustering of
+# (H*W)-dim spatial maps.  Loss-only (the reference's recon path is dead), so
+# the kernel reduces sum((dist*assign)^2) in SMEM and nothing score-sized
+# leaves VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _space_kernel(
+    x_ref,  # (CT, BD, HW) fp32 per-channel spatial maps (post-LayerNorm)
+    cen_ref,  # (CT, K, HW) fp32
+    loss_ref,  # (1, 1) fp32 SMEM accumulator
+    *,
+    alpha: float,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        loss_ref[0, 0] = jnp.float32(0.0)
+
+    x = x_ref[:]
+    cen = cen_ref[:]
+    cross = jax.lax.dot_general(
+        x, cen, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (CT, BD, K)
+    x_sq = jnp.sum(x * x, axis=2, keepdims=True)  # (CT, BD, 1)
+    c_sq = jax.lax.expand_dims(jnp.sum(cen * cen, axis=2), (1,))  # (CT, 1, K)
+    d = jnp.sqrt(jnp.maximum(x_sq + c_sq - 2.0 * cross, 0.0))
+    d_min = jnp.min(d, axis=2, keepdims=True)
+    e = jnp.exp(-alpha * (d - d_min))
+    assign = e / jnp.sum(e, axis=2, keepdims=True)
+    da = d * assign
+    loss_ref[0, 0] += jnp.sum(da * da)
+
+
+def _space_forward_pallas(maps, centers, alpha, interpret):
+    c, bd, hw = maps.shape
+    ct = 4
+    while c % ct != 0:
+        ct //= 2
+    loss = pl.pallas_call(
+        functools.partial(_space_kernel, alpha=alpha),
+        grid=(c // ct,),
+        in_specs=[
+            pl.BlockSpec((ct, bd, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, centers.shape[1], hw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )(maps.astype(jnp.float32), centers.astype(jnp.float32))
+    return loss[0, 0]
+
+
+def _space_forward_xla(maps, centers, alpha):
+    d = cdist(maps, centers)  # (C, BD, K)
+    assign = neg_soft_assign(d, alpha)
+    da = d * assign
+    return jnp.sum(da * da)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_space_cluster_loss(
+    maps: jax.Array,  # (C, B*D, H*W) post-LayerNorm spatial maps
+    centers: jax.Array,  # (C, K, H*W)
+    alpha: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """sum((dist * assign)^2) for the spatial head; space_loss = sqrt of it."""
+    return _space_forward_pallas(maps, centers, alpha, interpret)
+
+
+def _space_fwd(maps, centers, alpha, interpret):
+    return fused_space_cluster_loss(maps, centers, alpha, interpret), (maps, centers)
+
+
+def _space_bwd(alpha, interpret, res, cot):
+    maps, centers = res
+    _, vjp = jax.vjp(
+        lambda m, c: _space_forward_xla(m, c, alpha),
+        maps.astype(jnp.float32),
+        centers.astype(jnp.float32),
+    )
+    dm, dc = vjp(cot)
+    return dm.astype(maps.dtype), dc.astype(centers.dtype)
+
+
+fused_space_cluster_loss.defvjp(_space_fwd, _space_bwd)

@@ -1,21 +1,32 @@
-"""Benchmark: flagship end-to-end inference throughput, clips/sec/chip.
+"""Benchmark: flagship inference + training throughput with MFU accounting.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "clips/sec/chip", "vs_baseline": N,
+   "model_gflops_per_clip": F, "mfu_pct": M,
+   "train_clips_per_sec": Nt, "train_step_gflops_per_clip": Ft,
+   "train_mfu_pct": Mt, "peak_tflops": P, "baseline_basis": "..."}
 
 Workload: the flagship Swin+I3D clustering VAD model in next-frame-prediction
 mode (cluster heads ON, compactness ON — the eval-time configuration of
 ``tool/contrast_evaluae.py:163-165``), scoring 4-frame 224x224 windows exactly
-as the sliding-window evaluator feeds them, bf16 compute, best batch size of a
-small sweep.
+as the sliding-window evaluator feeds them, bf16 compute, Pallas fused
+window-attention + cluster kernels (the default TPU path of tools/train.py),
+best batch of a small sweep.  The training number times the REAL jitted train
+step (forward + backward + torch-Adam + staged gates) built by
+``vadcl_tpu.train.step.make_train_step`` — the same function tools/train.py
+runs.
 
-Baseline for ``vs_baseline``: the PyTorch reference publishes NO throughput
-numbers (BASELINE.md) and its flagship model cannot even import in this image
-(requires mmcv/timm).  The only runnable piece of the reference is its UNet3D
-backbone (``/root/reference/model/unet3D.py``, torch CPU).  We therefore
-measure the torch-CPU reference UNet3D on the same input shape as a
-conservative proxy baseline and report the ratio; the proxy value is cached in
-``.bench_baseline.json`` after the first run.
+FLOPs come from XLA's HLO cost analysis of the lowered programs
+(vadcl_tpu/utils/flops.py), cached in ``.bench_flops.json``; MFU divides
+achieved FLOP/s by the chip's published bf16 peak.
+
+``vs_baseline``: the PyTorch reference publishes NO throughput numbers and
+names no hardware (SURVEY §6; 运行指令.txt shows a 4-GPU DDP launch).  The
+baseline is therefore an *estimate favoring the reference*: its as-written
+fp32 eager model on one V100 (15.7 TFLOP/s fp32 peak) at 25% utilization —
+generous for eager-mode research PyTorch — i.e. 3.93 TFLOP/s effective over
+the same XLA-counted forward FLOPs.  The basis string rides in the JSON so
+the ratio is auditable; ``mfu_pct`` is the assumption-free figure.
 """
 
 from __future__ import annotations
@@ -30,56 +41,139 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+FLOPS_CACHE = os.path.join(REPO, ".bench_flops.json")
 FRAMES, H, W = 4, 224, 224
 
+# Estimated reference throughput basis (see module docstring).
+_REF_EFFECTIVE_TFLOPS = 15.7 * 0.25
+_BASELINE_BASIS = (
+    "estimated reference: fp32 eager PyTorch on one V100 at 25% util "
+    f"({_REF_EFFECTIVE_TFLOPS:.2f} TFLOP/s) over the same XLA-counted fwd FLOPs"
+)
 
-def measure_torch_baseline() -> float:
-    """Torch-CPU reference UNet3D clips/sec on (1, 3, FRAMES, H, W)."""
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            return json.load(f)["torch_cpu_unet3d_clips_per_sec"]
-    import importlib.util
 
-    import torch
+def _fused() -> bool:
+    import jax
 
-    spec = importlib.util.spec_from_file_location(
-        "ref_unet3d", "/root/reference/model/unet3D.py"
+    return jax.default_backend() != "cpu"
+
+
+def compute_flops_cpu() -> dict:
+    """--flops mode: pin the CPU backend (the axon plugin's cost_analysis
+    returns None), lower the scorer and the real train step WITHOUT compiling
+    or running them, and print their XLA-counted FLOPs as one JSON line."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from vadcl_tpu.models.backbone import VADModel
+    from vadcl_tpu.train.step import TrainState, make_train_step
+    from vadcl_tpu.train.optim import build_optimizer, cosine_epoch_lr, param_gate_thresholds
+    from vadcl_tpu.utils.flops import lowered_flops
+
+    cfg = _flagship_config()
+    # FLOPs are counted on the bf16 TPU program structure; dtype only changes
+    # op count marginally, and bf16 lowers fine on CPU.
+    model = VADModel(config=cfg.model, dtype=jnp.bfloat16)
+    batch_i, batch_t = 64, 32
+    clip_i = jnp.zeros((batch_i, FRAMES, H, W, 3), jnp.float32)
+    clip_t = jnp.zeros((batch_t, FRAMES, H, W, 3), jnp.float32)
+
+    def score(variables, clips):
+        out = model.apply(variables, clips)
+        err = (
+            out.recon.astype(jnp.float32) - clips[:, -1:].astype(jnp.float32)
+        ) ** 2
+        return jnp.mean(err, axis=(1, 2, 3, 4))
+
+    shapes = jax.eval_shape(model.init, jax.random.key(0), clip_t[:1])
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
     )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    net = mod.UNet3D(residual="conv").eval()
-    x = torch.rand(1, 3, FRAMES, H, W)
-    with torch.no_grad():
-        net(x)  # warm
-        t0 = time.time()
-        iters = 3
-        for _ in range(iters):
-            net(x)
-        dt = (time.time() - t0) / iters
-    clips = 1.0 / dt
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump({"torch_cpu_unet3d_clips_per_sec": clips}, f)
-    return clips
+    infer_flops = lowered_flops(score, variables, clip_i) / batch_i
+
+    variables = dict(variables)
+    params = variables.pop("params")
+    lr = cosine_epoch_lr(
+        cfg.optim.lr, cfg.optim.min_lr, cfg.optim.epochs, 100,
+        cfg.optim.warmup_epochs,
+    )
+    gates = param_gate_thresholds(
+        params, cluster_start_iter=cfg.schedule.cluster_train_start_iter
+    )
+    tx = build_optimizer(
+        cfg.optim.optimizer, lr, weight_decay=cfg.optim.weight_decay,
+        b1=cfg.optim.b1, b2=cfg.optim.b2, eps=cfg.optim.eps,
+        gate_thresholds=gates,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, extras=variables,
+        opt_state=tx.init(params),
+    )
+    step = make_train_step(model, cfg, tx, steps_per_epoch=100)
+    train_flops = lowered_flops(step, state, clip_t) / batch_t
+    return {
+        "infer_flops_per_clip": infer_flops,
+        "train_flops_per_clip": train_flops,
+    }
 
 
-def measure_ours() -> float:
+def get_flops() -> dict:
+    """Cached CPU-subprocess FLOPs (the main process owns the axon backend)."""
+    import subprocess
+
+    from vadcl_tpu.utils.flops import cached_flops
+
+    def run(field):
+        def compute():
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flops"],
+                capture_output=True, text=True, timeout=1200,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            )
+            data = json.loads(out.stdout.strip().splitlines()[-1])
+            # cache both fields while we have them
+            cached_flops(FLOPS_CACHE, "train_flops_per_clip",
+                         lambda: data["train_flops_per_clip"])
+            return data[field]
+
+        return cached_flops(FLOPS_CACHE, field, compute)
+
+    return {
+        "infer_flops_per_clip": run("infer_flops_per_clip"),
+        "train_flops_per_clip": run("train_flops_per_clip"),
+    }
+
+
+def _flagship_config():
+    from vadcl_tpu.core.config import preset
+
+    fused = _fused()
+    import dataclasses
+
+    cfg = preset("shanghaitech")
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, predict=True, fused_attention=fused, fused_cluster=fused
+        )
+    )
+    return cfg
+
+
+def measure_inference():
+    """Returns measured clips/sec on the default backend."""
     import jax
     import jax.numpy as jnp
 
-    from vadcl_tpu.core.config import ModelConfig
     from vadcl_tpu.models.backbone import VADModel
 
-    cfg = ModelConfig(predict=True, fused_attention=True, fused_cluster=True)
+    cfg = _flagship_config()
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    model = VADModel(config=cfg, dtype=dtype)
+    model = VADModel(config=cfg.model, dtype=dtype)
     rng = np.random.RandomState(0)
 
-    best = 0.0
-    for batch in (64, 128):
-        clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
-        variables = jax.jit(model.init)(jax.random.key(0), clips[:1])
-
+    def make_score(variables):
         @jax.jit
         def score(variables, clips, carry):
             # `carry` (previous iteration's result) is folded into the input
@@ -95,36 +189,115 @@ def measure_ours() -> float:
             ) ** 2
             return jnp.mean(err, axis=(1, 2, 3, 4))
 
+        return score
+
+    best = 0.0
+    for batch in (64, 128):
+        clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.key(0), clips[:1])
+        score = make_score(variables)
+
         out = score(variables, clips, jnp.zeros((), jnp.float32))
         jax.block_until_ready(out)  # compile + warm
-        iters = 20
-        t0 = time.time()
-        for i in range(iters):
-            out = score(variables, clips, jnp.sum(out))
-        np.asarray(out)  # host readback forces real completion
-        dt = (time.time() - t0) / iters
-        best = max(best, batch / dt)
+        rate = 0.0
+        for _ in range(2):  # best-of-2 repeats (tunnel first-call jitter)
+            iters = 20
+            t0 = time.time()
+            for _ in range(iters):
+                out = score(variables, clips, jnp.sum(out))
+            np.asarray(out)  # host readback forces real completion
+            dt = (time.time() - t0) / iters
+            rate = max(rate, batch / dt)
+        best = max(best, rate)
     return best
 
 
+def measure_train():
+    """Measured clips/sec of the real jitted train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from vadcl_tpu.models.backbone import VADModel
+    from vadcl_tpu.train.step import create_train_state, make_train_step
+
+    cfg = _flagship_config()
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    model = VADModel(config=cfg.model, dtype=dtype)
+    rng = np.random.RandomState(1)
+
+    batch = 32
+    clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
+    state, tx = create_train_state(
+        model, cfg, jax.random.key(0), clips[:1], steps_per_epoch=100
+    )
+    step = make_train_step(model, cfg, tx, steps_per_epoch=100)
+
+    state, metrics = step(state, clips)
+    jax.block_until_ready(state.params)  # compile + warm
+    rate = 0.0
+    for _ in range(2):
+        iters = 10
+        t0 = time.time()
+        for _ in range(iters):
+            # params evolve every step: genuine inter-request data dependence,
+            # so the remote tunnel cannot memoize.
+            state, metrics = step(state, clips)
+        np.asarray(metrics.loss)
+        dt = (time.time() - t0) / iters
+        rate = max(rate, batch / dt)
+    return rate
+
+
 def main():
-    ours = measure_ours()
+    from vadcl_tpu.utils.flops import device_peak_tflops, mfu_pct
+
+    infer_rate = measure_inference()
     try:
-        baseline = measure_torch_baseline()
-    except Exception:
-        baseline = float("nan")
-    vs = ours / baseline if baseline == baseline and baseline > 0 else -1.0
+        train_rate = measure_train()
+    except Exception as e:  # never lose the headline number to a train issue
+        print(f"train bench failed: {e!r}", file=sys.stderr)
+        train_rate = float("nan")
+    try:
+        flops = get_flops()
+        infer_flops = flops["infer_flops_per_clip"]
+        train_flops = flops["train_flops_per_clip"]
+    except Exception as e:
+        print(f"flops accounting failed: {e!r}", file=sys.stderr)
+        infer_flops = train_flops = float("nan")
+
+    peak = device_peak_tflops()
+    infer_mfu = mfu_pct(infer_rate * infer_flops, peak)
+    train_mfu = (
+        mfu_pct(train_rate * train_flops, peak)
+        if train_rate == train_rate
+        else None
+    )
+    ref_clips = _REF_EFFECTIVE_TFLOPS * 1e12 / infer_flops
+
+    def r(x, nd=2):
+        return round(x, nd) if isinstance(x, float) and x == x else None
+
     print(
         json.dumps(
             {
                 "metric": "shanghaitech_flagship_inference_throughput",
-                "value": round(ours, 2),
+                "value": r(infer_rate),
                 "unit": "clips/sec/chip",
-                "vs_baseline": round(vs, 2),
+                "vs_baseline": r(infer_rate / ref_clips),
+                "model_gflops_per_clip": r(infer_flops / 1e9),
+                "mfu_pct": r(infer_mfu) if infer_mfu else None,
+                "train_clips_per_sec": r(train_rate),
+                "train_step_gflops_per_clip": r(train_flops / 1e9),
+                "train_mfu_pct": r(train_mfu) if train_mfu else None,
+                "peak_tflops": peak,
+                "baseline_basis": _BASELINE_BASIS,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--flops" in sys.argv:
+        print(json.dumps(compute_flops_cpu()))
+    else:
+        main()

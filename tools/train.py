@@ -92,9 +92,19 @@ def main():
     ap.add_argument("--no-cluster", action="store_true")
     ap.add_argument("--backbone", default="swin",
                     choices=["swin", "unet3d", "convae", "convae_predict"])
+    ap.add_argument(
+        "--fused", default=None, action=argparse.BooleanOptionalAction,
+        help="Pallas fused window-attention + cluster kernels. Default: on "
+        "when running on TPU, off on CPU (where only interpret mode exists).",
+    )
     args = ap.parse_args()
 
     maybe_initialize_distributed()
+    fused = args.fused
+    if fused is None:
+        fused = jax.default_backend() not in ("cpu",)
+    if fused and args.backbone != "swin":
+        fused = False  # the fused kernels live in the Swin attention/cluster path
     cfg = preset(args.preset)
     cfg = cfg.replace(
         data=dataclasses.replace(
@@ -109,6 +119,8 @@ def main():
             predict=args.predict,
             backbone=args.backbone,
             use_cluster=not args.no_cluster,
+            fused_attention=fused,
+            fused_cluster=fused,
         ),
         schedule=dataclasses.replace(
             cfg.schedule,

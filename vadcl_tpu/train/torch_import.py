@@ -118,7 +118,10 @@ def translate_torch_state(
 
     for key, v in torch_state.items():
         k = key[7:] if key.startswith("module.") else key
-        if "identity_matrix" in k:
+        if "identity_matrix" in k or "relative_position_index" in k:
+            # constant buffers: identity_matrix (model/cluster.py:72) and the
+            # rel-pos gather index (model/swin_transformer.py:109-124) are
+            # derived from geometry; we rebuild them as host constants.
             continue
 
         # --- encoder ---

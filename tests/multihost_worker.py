@@ -1,0 +1,115 @@
+"""Worker for the 2-process multihost test (run by tests/test_multihost.py).
+
+Each process is one "host" with 2 virtual CPU devices; together they form a
+4-device 'data' mesh.  Exercises the real multihost branches
+(``jax.process_count() > 1``) of:
+
+* ``parallel.sharding.local_batch_to_global`` — per-host batch shards
+  assembled into one global sharded array (the host-sharded input pipeline
+  replacing DistributedSampler, SURVEY §2.3),
+* ``parallel.sharding.cross_host_concat`` — per-video eval results gathered
+  to every host (``mmaction/apis/test.py:99-159`` semantics),
+* ``data.loader.HostDataLoader`` host slicing — the strided per-host split of
+  the epoch permutation partitions the dataset exactly.
+
+Usage: python multihost_worker.py <coordinator_addr> <process_id> <num_procs>
+Exits 0 on success; any assertion failure exits nonzero.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2"
+    ).strip()
+
+import jax  # noqa: E402
+
+coordinator, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+jax.distributed.initialize(
+    coordinator_address=coordinator,
+    num_processes=nprocs,
+    process_id=pid,
+    local_device_ids=[0, 1],
+)
+
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vadcl_tpu.parallel.sharding import (  # noqa: E402
+    cross_host_concat,
+    local_batch_to_global,
+)
+
+assert jax.process_count() == nprocs, jax.process_count()
+n_global = len(jax.devices())
+n_local = len(jax.local_devices())
+assert n_global == 2 * nprocs and n_local == 2, (n_global, n_local)
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+
+# --- local_batch_to_global: each host contributes rows [4*pid, 4*pid+4) of an
+# 8-row global batch; a jitted global reduction must see ALL rows on both hosts
+local = np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + 100.0 * pid
+global_batch = local_batch_to_global(local, mesh)
+assert global_batch.shape == (4 * nprocs, 3), global_batch.shape
+
+total = jax.jit(
+    lambda x: x.sum(),
+    in_shardings=NamedSharding(mesh, P("data")),
+    out_shardings=NamedSharding(mesh, P()),
+)(global_batch)
+want = sum(
+    (np.arange(12, dtype=np.float32) + 100.0 * p).sum() for p in range(nprocs)
+)
+np.testing.assert_allclose(float(total), want)
+
+# --- cross_host_concat: per-host per-video score vectors gather to every host
+mine = [np.full((5,), pid, np.float32), np.full((5,), 10 + pid, np.float32)]
+everyone = cross_host_concat(mine)
+got = sorted(float(v[0]) for v in everyone)
+want_vals = sorted(
+    float(v) for p in range(nprocs) for v in (p, 10 + p)
+)
+assert got == want_vals, (got, want_vals)
+
+# --- HostDataLoader: the per-host strided slices partition the permutation
+from vadcl_tpu.data.loader import HostDataLoader  # noqa: E402
+
+
+class _StubDataset:
+    def __len__(self):
+        return 21  # odd on purpose: exercises pad-to-divisible
+
+    def get_clip(self, i):
+        return np.full((2, 4, 4, 3), i, np.float32)
+
+
+loader = HostDataLoader(
+    _StubDataset(), batch_size=4, seed=7, num_workers=2,
+    host_id=pid, num_hosts=nprocs,
+)
+my_idx = loader._epoch_indices(epoch=3)
+from jax.experimental import multihost_utils  # noqa: E402
+
+# pad to equal length for the gather; -1 never occurs as a real index
+padded = np.full((len(_StubDataset()) + nprocs,), -1, np.int64)
+padded[: len(my_idx)] = my_idx
+all_idx = np.asarray(multihost_utils.process_allgather(padded))
+seen = all_idx[all_idx >= 0]
+# the union over hosts covers every sample (pad duplicates allowed)
+assert set(seen.tolist()) == set(range(21)), sorted(set(seen.tolist()))
+# and the padded total is exactly ceil(21 / nprocs) * nprocs
+assert len(seen) == -(-21 // nprocs) * nprocs, len(seen)
+
+# batches actually materialize through the threaded producer on each host
+batches = list(loader.epoch(3))
+assert all(b.shape == (4, 2, 4, 4, 3) for b in batches), [b.shape for b in batches]
+assert len(batches) == loader.steps_per_epoch()
+
+print(f"proc {pid}: multihost checks passed")

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vadcl_tpu.core.config import preset
+from vadcl_tpu.core.mesh import make_mesh, maybe_initialize_distributed
 from vadcl_tpu.data import ClipDataset
 from vadcl_tpu.eval.predict import evaluate_videos, make_window_scorer
 from vadcl_tpu.models.backbone import VADModel
@@ -55,6 +56,12 @@ def main():
     args = ap.parse_args()
 
     import dataclasses
+
+    # multi-chip eval: shard the window batch over all devices (the TPU-native
+    # analogue of the reference DDP-wrapping its eval tools,
+    # tool/contrast_evaluae.py:148-153)
+    maybe_initialize_distributed()
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
 
     cfg = preset(args.preset)
     predict = args.predict or args.backbone == "convae_predict"
@@ -122,6 +129,7 @@ def main():
         predict=predict,
         batch_windows=args.batch_windows,
         first_frame_quirk=args.protocol == "stride1_first_frame",
+        mesh=mesh,
     )
     ds = ClipDataset(
         args.test_data_path,

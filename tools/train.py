@@ -31,7 +31,7 @@ from vadcl_tpu.models.backbone import VADModel
 from vadcl_tpu.train.loop import train
 
 
-def build_eval_fn(cfg, test_dir, label_dir):
+def build_eval_fn(cfg, test_dir, label_dir, mesh=None):
     test_ds = ClipDataset(
         test_dir,
         frame_num=cfg.data.frame_num,
@@ -58,6 +58,7 @@ def build_eval_fn(cfg, test_dir, label_dir):
             frame_num=cfg.data.frame_num,
             predict=predict,
             batch_windows=cfg.eval.batch_windows,
+            mesh=mesh,
         )
         auc, per_scene, _ = evaluate_videos(
             scorer,
@@ -155,7 +156,9 @@ def main():
 
     eval_fn = None
     if args.test_data_path and args.eval_every:
-        eval_fn = build_eval_fn(cfg, args.test_data_path, args.label_path)
+        eval_fn = build_eval_fn(
+            cfg, args.test_data_path, args.label_path, mesh=mesh
+        )
 
     train(
         cfg,

@@ -71,6 +71,9 @@ def make_window_scorer(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # the global window batch must split evenly over the mesh
+        n_dev = mesh.devices.size
+        batch_windows = -(-batch_windows // n_dev) * n_dev
         batch_sharded = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
         jit_kwargs = dict(

@@ -21,3 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compilation cache: several tests compile the same train-step
+# or model-forward HLO (resume tests re-enter train(), driver tests rebuild
+# scorers); cache hits turn those repeat compiles into file reads.  Lives
+# outside the repo tree; safe to delete any time.
+_cache_dir = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "vadcl_tpu_xla_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+

@@ -117,6 +117,49 @@ def cmd_losses(args):
     print("loss comparison ->", args.out)
 
 
+def cmd_paradigm(args):
+    """Paradigm-comparison plot (tool/contrast_evaluae.py:281-291): overlay
+    the model's per-video anomaly-score curve (first ``--frames`` frames of
+    each video in a ``scores.npz`` from tools/evaluate.py) against a
+    reference paradigm curve in the tool/temp.csv format (pandas csv, index
+    column + one value column).  ``--export-csv`` additionally dumps our own
+    first-curve in that same format (tool/predict_evaluae.py:281-282)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with np.load(args.scores) as z:
+        curves = {k: z[k][0] for k in sorted(z.files)}
+    if not curves:
+        raise SystemExit(f"no score curves in {args.scores}")
+
+    other = None
+    if args.csv:
+        import pandas as pd
+
+        other = pd.read_csv(args.csv, index_col=0).values.ravel()
+
+    plt.figure(figsize=(8, 5))
+    plt.title("Comparison of two anomaly detection paradigms")
+    for name, scores in curves.items():
+        plt.plot(scores[: args.frames], label=name)
+    if other is not None:
+        plt.plot(other[: args.frames], "k--", label="paradigm (csv)")
+    plt.ylabel("Abnormal score")
+    plt.xlabel("frames")
+    plt.legend(fontsize=7)
+    plt.savefig(args.out, dpi=150, bbox_inches="tight")
+    print("paradigm comparison ->", args.out)
+
+    if args.export_csv:
+        import pandas as pd
+
+        first = next(iter(curves.values()))[: args.frames]
+        pd.DataFrame({"0": first}).to_csv(args.export_csv)
+        print("score curve (temp.csv format) ->", args.export_csv)
+
+
 def main():
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -131,8 +174,19 @@ def main():
     l = sub.add_parser("losses")
     l.add_argument("--records", nargs="+", required=True)
     l.add_argument("--out", default="losses.png")
+    c = sub.add_parser("paradigm")
+    c.add_argument("--scores", required=True, help="scores.npz from tools/evaluate.py")
+    c.add_argument("--csv", default="", help="paradigm curve, temp.csv format")
+    c.add_argument("--frames", type=int, default=24)
+    c.add_argument("--out", default="paradigm.png")
+    c.add_argument("--export-csv", default="")
     args = ap.parse_args()
-    {"heatmaps": cmd_heatmaps, "tsne": cmd_tsne, "losses": cmd_losses}[args.cmd](args)
+    {
+        "heatmaps": cmd_heatmaps,
+        "tsne": cmd_tsne,
+        "losses": cmd_losses,
+        "paradigm": cmd_paradigm,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -60,11 +60,18 @@ class HostDataLoader:
         n = len(self._epoch_indices(0))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def epoch(self, epoch: int) -> Iterator[np.ndarray]:
-        """Yields (batch_size, frame_num, H, W, C) float32 batches."""
+    def epoch(self, epoch: int, start_iter: int = 0) -> Iterator[np.ndarray]:
+        """Yields (batch_size, frame_num, H, W, C) float32 batches.
+
+        ``start_iter`` fast-forwards past the first N batches of the epoch's
+        deterministic permutation (mid-epoch resume: the sampler continues
+        exactly where a crashed run left off, replacing the reference's
+        whole-epoch ``--start`` restart, ``main_predict.py:129, 201``)."""
         idx = self._epoch_indices(epoch)
         if self.drop_last:
             idx = idx[: len(idx) // self.batch_size * self.batch_size]
+        if start_iter:
+            idx = idx[start_iter * self.batch_size :]
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

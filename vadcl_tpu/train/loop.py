@@ -70,19 +70,49 @@ def train(
     )
     step_fn = make_train_step(model, cfg, tx, steps_per_epoch, mesh=mesh)
 
-    # auto-resume from the newest checkpoint if present
+    # auto-resume from the newest checkpoint if present.  Checkpoints record
+    # (epoch, iter); resume continues INSIDE the epoch with the sampler
+    # fast-forwarded, so a crash between per-iteration saves loses at most
+    # save_every_iters batches and the step-driven LR schedule stays aligned
+    # (the reference restarts whole epochs via --start, main_predict.py:129).
     latest = ckpt.latest_tag()
-    start_epoch = 0
+    start_epoch, start_iter = 0, 0
     if latest is not None:
         state = ckpt.restore(latest, state)
-        start_epoch = int(ckpt.metadata(latest).get("epoch", 0)) + 1
-        logger.info(f"resumed from checkpoint {latest} at epoch {start_epoch}")
+        meta = ckpt.metadata(latest)
+        start_epoch = int(meta.get("epoch", 0))
+        start_iter = int(meta.get("iter", steps_per_epoch - 1)) + 1
+        if start_iter >= steps_per_epoch:
+            start_epoch, start_iter = start_epoch + 1, 0
+        logger.info(
+            f"resumed from checkpoint {latest} at epoch {start_epoch} "
+            f"iter {start_iter}"
+        )
 
     from vadcl_tpu.utils.profiling import StepTimer, trace_steps
 
     timer = StepTimer(clips_per_step=loader.batch_size)
     best_auc = -1.0
     state_box = {"prev_loss": None, "spike_dumped": False}
+    # per-step loss records for the ablation plotter (the reference trainers
+    # accumulate loss_log and save loss_record/*.npy — main.py:205-213,
+    # main_predict.py:311; consumed by loss_contrast.py / visualize.py losses)
+    loss_record_dir = os.path.join(cfg.output_dir, "loss_record")
+    loss_log = {"loss": [], "loss_pixel": [], "cluster_loss": [], "space_loss": []}
+
+    def flush_loss_records():
+        if not loss_log["loss"]:
+            return
+        os.makedirs(loss_record_dir, exist_ok=True)
+        for name, vals in loss_log.items():
+            np.save(os.path.join(loss_record_dir, f"{name}.npy"), np.asarray(vals))
+
+    if latest is not None:
+        # carry pre-crash records across resume (truncated to the resumed step)
+        for name in loss_log:
+            p = os.path.join(loss_record_dir, f"{name}.npy")
+            if os.path.exists(p):
+                loss_log[name] = list(np.load(p)[: int(state.step)])
 
     def process_metrics(m_host, epoch_h, it_h, batch_h, step_h):
         """Host-side guards + logging for one step's metrics."""
@@ -104,6 +134,10 @@ def train(
             state_box["spike_dumped"] = True
             logger.warning(f"loss jumped {prev:.3f} -> {loss:.3f}; batch dumped")
         state_box["prev_loss"] = loss
+        loss_log["loss"].append(loss)
+        loss_log["loss_pixel"].append(float(m_host.loss_pixel))
+        loss_log["cluster_loss"].append(float(m_host.cluster_loss))
+        loss_log["space_loss"].append(float(m_host.space_loss))
         logger.info(
             "Epoch:[{}/{}]\t batch:[{}/{}]\t loss={:.5f}\t lr={:.7f}\t "
             "clips/s={:.1f}".format(
@@ -117,7 +151,10 @@ def train(
     lagged = None
     t0 = time.time()
     for epoch in range(start_epoch, cfg.optim.epochs):
-        for it, batch in enumerate(loader.epoch(epoch)):
+        first_iter = start_iter if epoch == start_epoch else 0
+        for it, batch in enumerate(
+            loader.epoch(epoch, start_iter=first_iter), start=first_iter
+        ):
             if profile_steps and profiler_ctx is None and int(state.step) >= 2:
                 profiler_ctx = trace_steps(
                     os.path.join(cfg.output_dir, "profile")
@@ -138,12 +175,19 @@ def train(
                 process_metrics(*lagged)
             lagged = (m, epoch, it, batch, int(state.step))
             if cfg.save_every_iters and int(state.step) % cfg.save_every_iters == 0:
-                ckpt.save(str(int(state.step)), state, {"epoch": epoch})
+                ckpt.save(str(int(state.step)), state, {"epoch": epoch, "iter": it})
+                flush_loss_records()
             if max_steps is not None and int(state.step) >= max_steps:
                 process_metrics(*lagged)
+                flush_loss_records()
                 return state
+        flush_loss_records()
         if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
-            ckpt.save(str(int(state.step)), state, {"epoch": epoch})
+            ckpt.save(
+                str(int(state.step)),
+                state,
+                {"epoch": epoch, "iter": steps_per_epoch - 1},
+            )
         if eval_fn is not None and eval_every_epochs and (
             (epoch + 1) % eval_every_epochs == 0
         ):
@@ -158,5 +202,6 @@ def train(
                 ckpt.save("best", state, {"epoch": epoch, "auc": auc})
     if lagged is not None:
         process_metrics(*lagged)  # drain the final lagged step
+    flush_loss_records()
     logger.info(f"training done in {time.time() - t0:.1f}s")
     return state

@@ -121,6 +121,12 @@ def main():
     def apply_fn(clips):
         if args.backbone == "convae_predict":
             clips = clips[:, :-1]  # model never sees the target frame
+        elif predict:
+            # the reference eval feeds exactly the first 4 frames of each
+            # window (tool/predict_evaluae.py:205-206: clip[:, :, 0:4])
+            from vadcl_tpu.train.step import PREDICT_INPUT_FRAMES
+
+            clips = clips[:, :PREDICT_INPUT_FRAMES]
         return model.apply(variables, clips).recon
 
     scorer = make_window_scorer(

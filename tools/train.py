@@ -51,6 +51,12 @@ def build_eval_fn(cfg, test_dir, label_dir, mesh=None):
         def apply_fn(clips):
             if cfg.model.backbone == "convae_predict":
                 clips = clips[:, :-1]  # model never sees the target frame
+            elif predict:
+                # reference eval feeds the first 4 window frames only
+                # (tool/predict_evaluae.py:205-206: clip[:, :, 0:4])
+                from vadcl_tpu.train.step import PREDICT_INPUT_FRAMES
+
+                clips = clips[:, :PREDICT_INPUT_FRAMES]
             return model.apply(variables, clips).recon
 
         scorer = make_window_scorer(

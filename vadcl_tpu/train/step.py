@@ -54,20 +54,26 @@ class StepMetrics(NamedTuple):
     grad_finite: jax.Array  # non-finite-loss guard (main_predict.py:304-306)
 
 
+PREDICT_INPUT_FRAMES = 4  # the reference's literal ``video[:, :, 0:4]``
+
+
 def split_predict_batch(
     clip: jax.Array, frame_num: int, predict: bool, overlap_quirk: bool = True
 ) -> Tuple[jax.Array, jax.Array]:
-    """main_predict.py:234-241: predict mode feeds the first ``frame_num``
-    frames and targets the LAST of them (the reference's quirky overlap —
-    video[:, :, -1:] with video[:, :, 0:frame_num] both covering frame
-    frame_num-1 — is preserved); recon mode targets the full clip.
+    """main_predict.py:234-241, literally: predict mode feeds the first **4**
+    frames (``video[:, :, 0:4]`` — hardcoded in the reference regardless of
+    ``--frame_num``) and targets the clip's LAST frame (``video[:, :, -1:]``).
+    At the default ``frame_num=4`` the target coincides with the last input
+    frame (the much-discussed overlap quirk); at ``frame_num=5`` the reference
+    — and therefore this function — trains a true next-frame prediction.
+    Recon mode targets the full clip.
 
     ``overlap_quirk=False`` gives the MNAD-proper split instead (inputs = all
     but the last frame, target = the true future frame) used by the
     convae_predict backbone."""
     if predict:
         if overlap_quirk:
-            return clip[:, :frame_num], clip[:, frame_num - 1 : frame_num]
+            return clip[:, :PREDICT_INPUT_FRAMES], clip[:, -1:]
         return clip[:, :-1], clip[:, -1:]
     return clip, clip
 

@@ -105,6 +105,39 @@ def memory_losses(query_bhwd: jax.Array, keys: jax.Array) -> MemoryLosses:
     return MemoryLosses(compactness=compact, separateness=separate)
 
 
+class MemoryTop1(NamedTuple):
+    keys: jax.Array  # (N, d) nearest memory item per query (detached)
+    index: jax.Array  # (N,) its slot index
+
+
+def memory_top1(query_bhwd: jax.Array, keys: jax.Array) -> MemoryTop1:
+    """Test-mode top-1 addressing outputs of the `memory_final_spatial_
+    sumonly_weight_ranking_top1` variant (``model/conv_mae/memory_final_…py:
+    219-224``): the nearest memory item per query and its index, both used by
+    MNAD's test-time anomaly measures."""
+    d = query_bhwd.shape[-1]
+    q = query_bhwd.reshape(-1, d).astype(jnp.float32)
+    _, s_m = memory_scores(keys, q)
+    top1 = jnp.argmax(s_m, axis=1)
+    return MemoryTop1(
+        keys=jax.lax.stop_gradient(keys.astype(jnp.float32)[top1]), index=top1
+    )
+
+
+def memory_pointwise_compactness(
+    query_bhwd: jax.Array, keys: jax.Array
+) -> jax.Array:
+    """Unreduced per-element compactness loss (``model/conv_mae/
+    memory_final_…py:185-191`` ``pointwise_gather_loss``: MSELoss(reduction=
+    'none') against the detached top-1 key) — the per-location anomaly-energy
+    map MNAD scores with at test time.  Returns (N, d) like the reference's
+    flattened layout."""
+    d = query_bhwd.shape[-1]
+    q = query_bhwd.reshape(-1, d).astype(jnp.float32)
+    top1 = memory_top1(query_bhwd, keys)
+    return (q - top1.keys) ** 2
+
+
 def memory_loss_regularizer(keys: jax.Array) -> jax.Array:
     """MemoryLoss (``model/Memory.py:52-59``): mean off-diagonal absolute
     shifted cosine similarity of the memory bank."""

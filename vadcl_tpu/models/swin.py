@@ -16,9 +16,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vadcl_tpu.models.layers import DropPath, Mlp, layer_norm, torch_weight_init
+from vadcl_tpu.models.layers import (
+    DropPath,
+    Mlp,
+    gelu,
+    layer_norm,
+    torch_weight_init,
+)
 from vadcl_tpu.ops.convs import conv3d, patchify_matmul
 from vadcl_tpu.ops.pallas_attn_bwd import fused_window_attention_trainable
+from vadcl_tpu.ops.pallas_mlp import fused_ln_mlp
 from vadcl_tpu.ops.window import (
     compute_attn_mask,
     get_window_size,
@@ -116,6 +123,49 @@ class WindowAttention3D(nn.Module):
         return out
 
 
+class _LayerNormParams(nn.Module):
+    """Param-only holder matching nn.LayerNorm's tree (scale, bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Param-only holder matching nn.Dense's tree (kernel, bias)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", torch_weight_init, (self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+class _MlpParams(nn.Module):
+    """Param tree identical to Mlp's (mlp/fc1, mlp/fc2) without the compute,
+    so fused and unfused blocks load the same checkpoints."""
+
+    in_features: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            _DenseParams(self.in_features, self.hidden, name="fc1")(),
+            _DenseParams(self.hidden, self.in_features, name="fc2")(),
+        )
+
+
 class SwinBlock3D(nn.Module):
     """One Swin block: (shifted) window attention + MLP with residuals
     (``model/swin_transformer.py:174-277``)."""
@@ -188,16 +238,33 @@ class SwinBlock3D(nn.Module):
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             y, deterministic=deterministic
         )
-        z = layer_norm(dtype=self.dtype, name="norm2")(x)
-        z = Mlp(
-            hidden_features=int(C * self.mlp_ratio),
-            drop=self.drop,
-            dtype=self.dtype,
-            name="mlp",
-        )(z, deterministic=deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path2")(
-            z, deterministic=deterministic
+        # LN -> MLP -> residual tail.  The fused Pallas kernel keeps the
+        # 4x-wide hidden activation and the LN stats in VMEM (the XLA chain is
+        # HBM-bound on the hidden tensor); valid whenever the tail is
+        # deterministic (dropout/drop-path are identity).  Param trees are
+        # identical between paths, so checkpoints interchange freely.
+        fuse_tail = self.fused and (
+            deterministic or (self.drop == 0.0 and self.drop_path == 0.0)
         )
+        if fuse_tail:
+            ln_scale, ln_bias = _LayerNormParams(C, name="norm2")()
+            (w1, b1), (w2, b2) = _MlpParams(
+                C, int(C * self.mlp_ratio), name="mlp"
+            )()
+            x = fused_ln_mlp(
+                x.astype(self.dtype), ln_scale, ln_bias, w1, b1, w2, b2
+            )
+        else:
+            z = layer_norm(dtype=self.dtype, name="norm2")(x)
+            z = Mlp(
+                hidden_features=int(C * self.mlp_ratio),
+                drop=self.drop,
+                dtype=self.dtype,
+                name="mlp",
+            )(z, deterministic=deterministic)
+            x = x + DropPath(self.drop_path, name="drop_path2")(
+                z, deterministic=deterministic
+            )
         return x
 
 
@@ -271,7 +338,9 @@ class PatchEmbed3D(nn.Module):
             jnp.float32,
         )
         b = self.param("bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32)
-        x = conv3d(x.astype(self.dtype), w, b, stride=self.patch_size)
+        # kernel == stride: one large MXU matmul instead of XLA's C_in=3 conv
+        # path, which runs ~10x slower at this tiny input-channel count
+        x = patchify_matmul(x.astype(self.dtype), w, b)
         if self.use_norm:
             x = layer_norm(dtype=self.dtype, name="norm")(x)
         return x

@@ -110,11 +110,20 @@ def _attn_kernel(
         out_ref[w] = (o2 + proj_b_ref[0, :]).astype(out_ref.dtype)
 
 
-def _pick_wins(bn: int, n_windows: int) -> int:
+def _pick_wins(bn: int, n_windows: int, num_heads: int = 1, n: int = 0) -> int:
     """Windows per grid cell: a divisor of the per-image window count (so the
-    mask block index repeats cleanly) and of the total count."""
+    mask block index repeats cleanly) and of the total count, VMEM-budgeted.
+
+    The forward holds ~4 live (wins*nH, n, n) fp32 score-sized tensors (s4,
+    its post-bias copy, p4, plus the lane-padded o4); at stage-1 geometry
+    (nH=12, N=98) wins=8 tips over Mosaic's 16 MB scoped-vmem stack, so cap
+    the estimated footprint well below it."""
+    budget = 12 * 1024 * 1024
     for cand in (8, 4, 2, 1):
-        if n_windows % cand == 0 and bn % cand == 0:
+        if n_windows % cand != 0 or bn % cand != 0:
+            continue
+        est = cand * num_heads * n * n * 4 * 4
+        if est <= budget or cand == 1:
             return cand
     return 1
 
@@ -137,7 +146,7 @@ def fused_window_attention(
     interpret: bool = False,
 ) -> jax.Array:
     bn, n, c = x_windows.shape
-    wins = _pick_wins(bn, n_windows)
+    wins = _pick_wins(bn, n_windows, num_heads, n)
     grid = (bn // wins,)
     dtype = x_windows.dtype
 

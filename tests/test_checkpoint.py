@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vadcl_tpu.train.checkpoint import (
     CheckpointManager,
@@ -96,6 +97,7 @@ def test_train_resume(tmp_path):
     assert int(state2.step) == steps_after_full
 
 
+@pytest.mark.slow
 def test_mid_epoch_crash_resume_matches_uninterrupted(tmp_path):
     """A run killed mid-epoch and auto-resumed must produce EXACTLY the same
     final state as an uninterrupted run: the sampler fast-forwards inside the

@@ -17,8 +17,8 @@ def test_legacy_decoder_shapes():
     taps = [jnp.zeros((1, 2, 14, 14, 32)), jnp.zeros((1, 2, 7, 7, 64)),
             jnp.zeros((1, 2, 7, 7, 64))]
     # reverse()[1:] -> first used tap is taps[-2]; matches x spatially here
-    v = dec.init(jax.random.key(0), x, taps)
-    out = dec.apply(v, x, taps)
+    v = jax.jit(dec.init)(jax.random.key(0), x, taps)
+    out = jax.jit(dec.apply)(v, x, taps)
     # up (1,2,2) then debed (2,4,4): 7 -> 14 -> 56; D: 2 -> 4
     assert out.shape == (1, 4, 56, 56, 3)
 

@@ -153,9 +153,11 @@ def test_memory_module_matches_reference_final():
 
     mod = MemoryModule(memory_size=keys.shape[0], key_dim=q_bdhw.shape[1])
     q_raw_bhwd = np.transpose(q_bdhw, (0, 2, 3, 1))
-    variables = mod.init(jax.random.key(0), q_raw_bhwd)
+    variables = jax.jit(mod.init)(jax.random.key(0), q_raw_bhwd)
     variables = {"memory": {"keys": keys}}  # pin the bank to the oracle's
-    out, updates = mod.apply(variables, q_raw_bhwd, train=True, mutable=["memory"])
+    out, updates = jax.jit(
+        lambda v, q: mod.apply(v, q, train=True, mutable=["memory"])
+    )(variables, q_raw_bhwd)
     np.testing.assert_allclose(
         np.asarray(out.updated_query), uq.numpy().transpose(0, 2, 3, 1),
         rtol=1e-4, atol=1e-5,

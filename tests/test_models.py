@@ -36,8 +36,8 @@ def test_encoder_geometry():
         embed_dim=32, depths=(1, 1), num_heads=(2, 4), window_size=(8, 7, 7)
     )
     x = _clip()
-    params = enc.init(jax.random.key(0), x)
-    latent, x_rec, taps = enc.apply(params, x)
+    params = jax.jit(enc.init)(jax.random.key(0), x)
+    latent, x_rec, taps = jax.jit(enc.apply)(params, x)
     # patchify (2,4,4): D 4->2, 56->14... with H=W=56: 56/4=14, downsample -> 7
     assert x_rec.shape == (2, 2, 14, 14, 32)
     assert latent.shape == (2, 2, 7, 7, 64)
@@ -50,8 +50,8 @@ def test_decoder_geometry(predict):
         in_chans=64, depths=(1, 1), num_heads=(4, 2), predict=predict
     )
     x = jnp.zeros((2, 2, 7, 7, 64))
-    params = dec.init(jax.random.key(0), x)
-    out = dec.apply(params, x)
+    params = jax.jit(dec.init)(jax.random.key(0), x)
+    out = jax.jit(dec.apply)(params, x)
     d_out = 1 if predict else 4
     assert out.shape == (2, d_out, 56, 56, 3)
 
@@ -64,8 +64,8 @@ def test_vadmodel_forward(predict):
     cfg = dataclasses.replace(TINY, predict=predict)
     model = VADModel(config=cfg)
     x = _clip()
-    params = model.init(jax.random.key(0), x)
-    out = model.apply(params, x)
+    params = jax.jit(model.init)(jax.random.key(0), x)
+    out = jax.jit(model.apply)(params, x)
     d_out = 1 if predict else 4
     assert out.recon.shape == (2, d_out, 56, 56, 3)
     assert np.isfinite(float(out.cluster_loss))
@@ -81,8 +81,8 @@ def test_vadmodel_no_cluster():
     cfg = dataclasses.replace(TINY, use_cluster=False)
     model = VADModel(config=cfg)
     x = _clip()
-    params = model.init(jax.random.key(0), x)
-    out = model.apply(params, x)
+    params = jax.jit(model.init)(jax.random.key(0), x)
+    out = jax.jit(model.apply)(params, x)
     assert float(out.cluster_loss) == 0.0
     assert out.cluster_assign is None
 
@@ -97,13 +97,13 @@ def test_cluster_detach_gating():
     def cluster_grad_norm(compactness):
         cfg = dataclasses.replace(TINY, compactness=compactness)
         model = VADModel(config=cfg)
-        params = model.init(jax.random.key(0), x)
+        params = jax.jit(model.init)(jax.random.key(0), x)
 
         def loss_fn(p):
             out = model.apply(p, x)
             return out.cluster_loss + out.space_loss
 
-        g = jax.grad(loss_fn)(params)
+        g = jax.jit(jax.grad(loss_fn))(params)
         enc = g["params"]["encoder"]
         total = sum(
             float(jnp.sum(jnp.abs(leaf))) for leaf in jax.tree_util.tree_leaves(enc)
@@ -122,13 +122,13 @@ def test_compactness_decodes_cluster_recon():
     x = _clip(B=1)
     cfg = dataclasses.replace(TINY, compactness=True)
     model = VADModel(config=cfg)
-    params = model.init(jax.random.key(0), x)
+    params = jax.jit(model.init)(jax.random.key(0), x)
 
     def recon_loss(p):
         out = model.apply(p, x)
         return jnp.sum(out.recon.astype(jnp.float32) ** 2)
 
-    g = jax.grad(recon_loss)(params)
+    g = jax.jit(jax.grad(recon_loss))(params)
     center_grad = g["params"]["cluster1"]["cluster_center"]
     assert float(jnp.sum(jnp.abs(center_grad))) > 0.0
 
@@ -136,8 +136,8 @@ def test_compactness_decodes_cluster_recon():
 def test_unet3d_shapes():
     net = UNet3D(feat_channels=(8, 16, 32, 64, 128))
     x = _clip(B=1, D=2, H=32, W=32)
-    params = net.init(jax.random.key(0), x)
-    out = net.apply(params, x)
+    params = jax.jit(net.init)(jax.random.key(0), x)
+    out = jax.jit(net.apply)(params, x)
     assert out.shape == x.shape
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0  # sigmoid head
 
@@ -145,8 +145,8 @@ def test_unet3d_shapes():
 def test_convae_shapes():
     net = ConvAE(t_length=2)
     x = _clip(B=1, D=2, H=32, W=32)
-    vars_ = net.init(jax.random.key(0), x)
-    out, mutated = net.apply(vars_, x, train=True, mutable=["memory"])
+    vars_ = jax.jit(net.init)(jax.random.key(0), x)
+    out, mutated = jax.jit(lambda v, a: net.apply(v, a, train=True, mutable=["memory"]))(vars_, x)
     assert out.recon.shape == (1, 2, 32, 32, 3)
     assert mutated["memory"]["memory"]["keys"].shape == (10, 512)
     # memory bank rows stay unit-norm after update
@@ -157,6 +157,6 @@ def test_convae_shapes():
 def test_convae_predict_shapes():
     net = ConvAEPredict(t_length=5)
     x = _clip(B=1, D=4, H=32, W=32)
-    vars_ = net.init(jax.random.key(0), x)
-    out, _ = net.apply(vars_, x, train=False, mutable=["memory"])
+    vars_ = jax.jit(net.init)(jax.random.key(0), x)
+    out, _ = jax.jit(lambda v, a: net.apply(v, a, train=False, mutable=["memory"]))(vars_, x)
     assert out.recon.shape == (1, 1, 32, 32, 3)

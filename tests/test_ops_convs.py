@@ -47,6 +47,8 @@ def test_conv3d_matches_torch(stride, padding, kernel):
         ((2, 1, 1), (0, 0, 0), (2, 1, 1)),  # timedebd recon
         ((1, 2, 2), (0, 0, 0), (1, 2, 2)),  # up_sampling
         ((1, 2, 2), (1, 0, 0), (3, 2, 2)),  # patchdebed stages
+        ((2, 1, 2), (0, 1, 0), (2, 3, 2)),  # mixed stride/kernel dims
+        ((2, 2, 2), (1, 0, 0), (3, 2, 2)),  # overlapping taps on every dim
     ],
 )
 def test_conv_transpose3d_matches_torch(stride, padding, kernel):

@@ -73,13 +73,13 @@ def test_fused_cluster_in_model():
     try:
         model = VADModel(config=cfg)
         x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 56, 56, 3), jnp.float32)
-        v = model.init(jax.random.key(0), x)
-        out = model.apply(v, x)
+        v = jax.jit(model.init)(jax.random.key(0), x)
+        out = jax.jit(model.apply)(v, x)
         assert np.isfinite(float(out.cluster_loss))
         assert out.cluster_assign is None  # not materialized on the fused path
 
         cfg2 = dataclasses.replace(cfg, fused_cluster=False)
-        out2 = VADModel(config=cfg2).apply(v, x)
+        out2 = jax.jit(VADModel(config=cfg2).apply)(v, x)
         np.testing.assert_allclose(
             float(out.cluster_loss), float(out2.cluster_loss), rtol=1e-5
         )

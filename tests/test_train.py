@@ -142,7 +142,7 @@ def test_train_step_predict_frame_num_6():
     )
     step = make_train_step(model, cfg, tx, steps_per_epoch=10)
     losses = []
-    for _ in range(6):
+    for _ in range(4):
         state, m = step(state, clip)
         losses.append(float(m.loss))
         assert bool(m.grad_finite)
@@ -163,12 +163,12 @@ def test_train_step_reduces_loss(predict):
     )
     step = make_train_step(model, cfg, tx, steps_per_epoch=10)
     losses = []
-    for _ in range(12):
+    for _ in range(8):
         state, m = step(state, clip)
         losses.append(float(m.loss))
         assert bool(m.grad_finite)
     assert losses[-1] < losses[0], losses
-    assert int(state.step) == 12
+    assert int(state.step) == 8
 
 
 def test_train_step_dp_matches_single_device():
@@ -263,7 +263,7 @@ def test_compactness_start_iter_gates_dataflow():
     )
     model = VADModel(config=cfg.model)
     clip = jnp.asarray(np.random.RandomState(0).rand(1, 4, 56, 56, 3), jnp.float32)
-    state_vars = model.init(jax.random.key(0), clip)
+    state_vars = jax.jit(model.init)(jax.random.key(0), clip)
     params = state_vars["params"]
     extras = {k: v for k, v in state_vars.items() if k != "params"}
     loss_fn = make_loss_fn(model, cfg)
@@ -302,7 +302,7 @@ def test_dropout_active_when_configured():
     )
     model = VADModel(config=cfg.model)
     clip = jnp.asarray(np.random.RandomState(0).rand(2, 4, 56, 56, 3), jnp.float32)
-    variables = model.init(jax.random.key(0), clip)
+    variables = jax.jit(model.init)(jax.random.key(0), clip)
     params = variables["params"]
     extras = {k: v for k, v in variables.items() if k != "params"}
     loss_fn = make_loss_fn(model, cfg)

@@ -77,6 +77,6 @@ def test_convae_plain_apply_for_eval():
     cfg = _cfg("convae")
     model = VADModel(config=cfg.model)
     clip = _clip(4)
-    variables = model.init(jax.random.key(0), clip)
-    out = model.apply(variables, clip)  # deterministic=True -> eval path
+    variables = jax.jit(model.init)(jax.random.key(0), clip)
+    out = jax.jit(model.apply)(variables, clip)  # deterministic=True -> eval path
     assert out.recon.shape == (2, 4, 32, 32, 3)

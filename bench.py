@@ -248,6 +248,59 @@ def measure_train():
     return rate
 
 
+def measure_chip_calibration():
+    """Effective device speed AT BENCH TIME: one large bf16 matmul (TFLOP/s)
+    and one streaming add (GB/s), elision-proof via a carried dependency.
+
+    The axon tunnel chip is shared infrastructure; its delivered rate was
+    measured to swing 53-117 TFLOP/s across sessions.  Reporting the same-run
+    calibration lets `mfu_pct` (vs the 197 nameplate) be read against what
+    the chip would actually give ANY program at that moment."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.randn(4096, 4096), jnp.bfloat16)
+    b = jnp.asarray(rng.randn(4096, 4096), jnp.bfloat16)
+    big = jnp.asarray(rng.randn(64, 1024, 1024), jnp.bfloat16)
+
+    def timed(fn, a0, iters=16):
+        jitted = jax.jit(
+            lambda a0: lax.fori_loop(
+                0, iters,
+                lambda i, c: (
+                    c[0],
+                    jnp.sum(
+                        fn(c[0] + c[1] * jnp.asarray(1e-18, c[0].dtype))
+                    ).astype(c[0].dtype),
+                ),
+                (a0, jnp.zeros((), a0.dtype)),
+            )[1]
+        )
+        out = jitted(a0)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            out = jitted(a0)
+            float(np.asarray(out.astype(jnp.float32)))
+            best = min(best, (time.time() - t0) / iters)
+        return best
+
+    t_mm = timed(
+        lambda x: jnp.dot(
+            x, b, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16),
+        a,
+    )
+    t_cp = timed(lambda x: x + 1, big)
+    return {
+        "chip_matmul_tflops": 2 * 4096**3 / t_mm / 1e12,
+        "chip_copy_gbps": 2 * big.size * 2 / t_cp / 1e9,
+    }
+
+
 def main():
     from vadcl_tpu.utils.flops import device_peak_tflops, mfu_pct
 
@@ -273,6 +326,11 @@ def main():
         else None
     )
     ref_clips = _REF_EFFECTIVE_TFLOPS * 1e12 / infer_flops
+    try:
+        calib = measure_chip_calibration()
+    except Exception as e:
+        print(f"chip calibration failed: {e!r}", file=sys.stderr)
+        calib = {}
 
     def r(x, nd=2):
         return round(x, nd) if isinstance(x, float) and x == x else None
@@ -290,6 +348,8 @@ def main():
                 "train_step_gflops_per_clip": r(train_flops / 1e9),
                 "train_mfu_pct": r(train_mfu) if train_mfu else None,
                 "peak_tflops": peak,
+                "chip_matmul_tflops": r(calib.get("chip_matmul_tflops")),
+                "chip_copy_gbps": r(calib.get("chip_copy_gbps")),
                 "baseline_basis": _BASELINE_BASIS,
             }
         )

@@ -5,7 +5,10 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from vadcl_tpu.ops.pallas_attn import fused_window_attention
+from vadcl_tpu.ops.pallas_attn import (
+    fused_window_attention,
+    fused_window_attention_packed,
+)
 from vadcl_tpu.ops.window import (
     compute_attn_mask,
     relative_position_index,
@@ -27,7 +30,9 @@ def _bias_from_table(tbl, idx, N, nH):
     ],
 )
 @pytest.mark.parametrize("shifted", [False, True])
-def test_fused_matches_xla(geom, shifted):
+@pytest.mark.parametrize("impl", [fused_window_attention, fused_window_attention_packed],
+                         ids=["baseline", "packed"])
+def test_fused_matches_xla(geom, shifted, impl):
     ws, dims, C, nH = geom
     D, H, W = dims
     N = ws[0] * ws[1] * ws[2]
@@ -49,7 +54,7 @@ def test_fused_matches_xla(geom, shifted):
         window_attention(x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH, mask=mask)
     )
     got = np.asarray(
-        fused_window_attention(
+        impl(
             x,
             qkv_w,
             qkv_b,

@@ -110,6 +110,88 @@ def _attn_kernel(
         out_ref[w] = (o2 + proj_b_ref[0, :]).astype(out_ref.dtype)
 
 
+def _attn_kernel_packed(
+    x_ref,  # (WINS, N, C) input windows (compute dtype)
+    qkv_w_ref,  # (C, 3C)
+    qkv_b_ref,  # (1, 3C) fp32
+    proj_w_ref,  # (C, C)
+    proj_b_ref,  # (1, C) fp32
+    bias_ref,  # (1, N, nH*N) fp32: rel-pos bias, heads packed in lanes
+    mask_ref,  # (1, WINS, N, N) fp32: per-window shift mask (zeros if none)
+    out_ref,  # (WINS, N, C)
+    *,
+    num_heads: int,
+    scale: float,
+):
+    """Head-packed attention: heads live in the LANE dimension throughout.
+
+    The per-head dots of the baseline kernel contract over head_dim (16 at
+    the flagship config) — ~12% MXU K-efficiency plus hundreds of per-head
+    slice/concat relayouts.  Here scores for ALL heads of a window are ONE
+    ``(N, C) x (C, nH*N)`` dot against a head-block-diagonal K built by
+    masking a row-tiled copy (``Kblock[h*N+m, ch] = K[m, ch]·[ch//hd == h]``),
+    and attn@V is one ``(N, nH*N) x (nH*N, C)`` dot against the same masked
+    tile of V — K-extents of C and nH*N instead of hd.  ~2.8x padded FLOPs,
+    ~6x fewer+fatter MXU ops: measured ~2x faster at stage geometries.
+
+    Blockwise softmax uses the global row max (exact: the same constant
+    shifts every head's block; per-block denominators come from ONE
+    ``exp_s @ indicator`` dot and are broadcast back with a second tiny dot).
+    """
+    wins, n, c = x_ref.shape
+    hd = c // num_heads
+    dtype = x_ref.dtype
+    L = num_heads * n
+
+    # head-ownership mask for the row-tiled K/V: (L, C)
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (L, c), 0) // n
+    ch_head = jax.lax.broadcasted_iota(jnp.int32, (L, c), 1) // hd
+    own = row_head == ch_head
+    # (L, nH) block indicator and its transpose for denominator broadcast
+    blk = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, num_heads), 0) // n
+        == jax.lax.broadcasted_iota(jnp.int32, (L, num_heads), 1)
+    ).astype(jnp.float32)
+
+    for w in range(wins):
+        qkv = (
+            jnp.dot(x_ref[w], qkv_w_ref[:], preferred_element_type=jnp.float32)
+            + qkv_b_ref[0, :]
+        )  # (n, 3c) fp32
+        q = (qkv[:, :c] * scale).astype(dtype)
+        k = qkv[:, c : 2 * c].astype(dtype)
+        v = qkv[:, 2 * c :].astype(dtype)
+        ktile = jnp.where(own, jnp.concatenate([k] * num_heads, axis=0), 0)
+        s = jax.lax.dot_general(
+            q, ktile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, L)
+        s = s + bias_ref[0] + jnp.concatenate(
+            [mask_ref[0, w]] * num_heads, axis=1
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        sums = jnp.dot(e, blk, preferred_element_type=jnp.float32)  # (n, nH)
+        dbc = jax.lax.dot_general(
+            1.0 / sums, blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, L)
+        p = (e * dbc).astype(dtype)
+        vtile = jnp.where(own, jnp.concatenate([v] * num_heads, axis=0), 0)
+        o = jax.lax.dot_general(
+            p, vtile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, c)
+        o2 = (
+            jnp.dot(
+                o.astype(dtype), proj_w_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + proj_b_ref[0, :]
+        )
+        out_ref[w] = o2.astype(out_ref.dtype)
+
+
 def _pick_wins(bn: int, n_windows: int, num_heads: int = 1, n: int = 0) -> int:
     """Windows per grid cell: a divisor of the per-image window count (so the
     mask block index repeats cleanly) and of the total count, VMEM-budgeted.
@@ -207,4 +289,86 @@ def fused_window_attention(
         proj_w.astype(dtype),
         proj_b.astype(jnp.float32).reshape(1, -1),
         tables,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "n_windows", "scale", "interpret", "wins_override"
+    ),
+)
+def fused_window_attention_packed(
+    x_windows: jax.Array,  # (Bn, N, C)
+    qkv_w: jax.Array,  # (C, 3C)
+    qkv_b: Optional[jax.Array],  # (3C,) or None
+    proj_w: jax.Array,  # (C, C)
+    proj_b: jax.Array,  # (C,)
+    bias: jax.Array,  # (nH, N, N) fp32 — pre-gathered rel-pos bias
+    mask: Optional[jax.Array],  # (nW, N, N) fp32 or None
+    num_heads: int,
+    n_windows: int,
+    scale: float,
+    interpret: bool = False,
+    wins_override: Optional[int] = None,
+) -> jax.Array:
+    """Head-packed forward (see ``_attn_kernel_packed``); same contract as
+    ``fused_window_attention``."""
+    bn, n, c = x_windows.shape
+    wins = wins_override or _pick_wins(bn, n_windows, num_heads, n)
+    grid = (bn // wins,)
+    dtype = x_windows.dtype
+    nH = num_heads
+    L = nH * n
+
+    qkv_b32 = (
+        qkv_b.astype(jnp.float32)
+        if qkv_b is not None
+        else jnp.zeros((3 * c,), jnp.float32)
+    ).reshape(1, -1)
+    if mask is None:
+        mask = jnp.zeros((n_windows, n, n), jnp.float32)
+    # bias packed once: (N, nH*N); mask stays un-tiled (the kernel tiles it
+    # across heads in VMEM) so wins can grow without a wins*L table block
+    bias_packed = jnp.transpose(bias.astype(jnp.float32), (1, 0, 2)).reshape(
+        1, n, L
+    )
+    nW_blocks = n_windows // wins
+    masks = mask.astype(jnp.float32).reshape(nW_blocks, wins, n, n)
+
+    kernel = functools.partial(
+        _attn_kernel_packed, num_heads=num_heads, scale=scale
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (wins, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (whole)
+            pl.BlockSpec(
+                (1, wins, n, n),
+                lambda i, _nb=nW_blocks: (i % _nb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (wins, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bn, n, c), dtype),
+        interpret=interpret,
+    )(
+        x_windows,
+        qkv_w.astype(dtype),
+        qkv_b32,
+        proj_w.astype(dtype),
+        proj_b.astype(jnp.float32).reshape(1, -1),
+        bias_packed,
+        masks,
     )

@@ -225,27 +225,33 @@ def measure_train():
     model = VADModel(config=cfg.model, dtype=dtype)
     rng = np.random.RandomState(1)
 
-    batch = 32
-    clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
-    state, tx = create_train_state(
-        model, cfg, jax.random.key(0), clips[:1], steps_per_epoch=100
-    )
-    step = make_train_step(model, cfg, tx, steps_per_epoch=100)
+    best = 0.0
+    for batch in (32, 64):
+        clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
+        state, tx = create_train_state(
+            model, cfg, jax.random.key(0), clips[:1], steps_per_epoch=100
+        )
+        step = make_train_step(model, cfg, tx, steps_per_epoch=100)
 
-    state, metrics = step(state, clips)
-    jax.block_until_ready(state.params)  # compile + warm
-    rate = 0.0
-    for _ in range(2):
-        iters = 10
-        t0 = time.time()
-        for _ in range(iters):
-            # params evolve every step: genuine inter-request data dependence,
-            # so the remote tunnel cannot memoize.
+        try:
             state, metrics = step(state, clips)
-        np.asarray(metrics.loss)
-        dt = (time.time() - t0) / iters
-        rate = max(rate, batch / dt)
-    return rate
+            jax.block_until_ready(state.params)  # compile + warm
+        except Exception as e:  # e.g. HBM OOM at the larger batch
+            print(f"train batch {batch} failed: {e!r}"[:200], file=sys.stderr)
+            continue
+        rate = 0.0
+        for _ in range(2):
+            iters = 10
+            t0 = time.time()
+            for _ in range(iters):
+                # params evolve every step: genuine inter-request data
+                # dependence, so the remote tunnel cannot memoize.
+                state, metrics = step(state, clips)
+            np.asarray(metrics.loss)
+            dt = (time.time() - t0) / iters
+            rate = max(rate, batch / dt)
+        best = max(best, rate)
+    return best
 
 
 def measure_chip_calibration():

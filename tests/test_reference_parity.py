@@ -234,3 +234,36 @@ def test_eval_protocol_end_to_end_parity(reference):
         curves.append(our_psnr(mse))
     all_ours = np.concatenate(curves)
     np.testing.assert_allclose(all_ours, all_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_load_reference_checkpoint_real_pth(reference, tmp_path):
+    """`load_reference_checkpoint` on GENUINE torch.save artifacts: both
+    on-disk formats the reference produces — a raw state_dict
+    (``main_predict.py:331`` torch.save(model.state_dict(), ...)) and the
+    ``{"state_dict": ...}`` wrapper handled by ``misc/utils.py:104`` — must
+    round-trip through torch serialization and translate identically to the
+    in-memory path."""
+    import torch
+
+    from vadcl_tpu.train.torch_import import load_reference_checkpoint
+
+    ref_backbone, _ = reference
+    torch.manual_seed(0)
+    ref = ref_backbone.Mymodel(RefArgs(), iscluster=False, ispredict=True)
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    want_params, want_stats, want_unmatched = translate_torch_state(state)
+
+    raw_path = str(tmp_path / "raw.pth")
+    torch.save(ref.state_dict(), raw_path)
+    wrapped_path = str(tmp_path / "wrapped.pth")
+    torch.save({"state_dict": ref.state_dict(), "epoch": 3}, wrapped_path)
+
+    for path in (raw_path, wrapped_path):
+        params, stats, unmatched = load_reference_checkpoint(path)
+        assert unmatched == want_unmatched == []
+        assert set(params) == set(want_params)
+        assert set(stats) == set(want_stats)
+        for k in params:
+            np.testing.assert_array_equal(params[k], want_params[k], err_msg=k)
+        for k in stats:
+            np.testing.assert_array_equal(stats[k], want_stats[k], err_msg=k)

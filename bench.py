@@ -120,29 +120,41 @@ def compute_flops_cpu() -> dict:
 
 
 def get_flops() -> dict:
-    """Cached CPU-subprocess FLOPs (the main process owns the axon backend)."""
+    """Cached CPU-subprocess FLOPs (the main process owns the axon backend).
+
+    The cache entry is keyed by a digest of the full flagship Config repr plus
+    the bench geometry, so any model/config change invalidates it instead of
+    silently reusing stale FLOPs; one subprocess run fills both fields."""
+    import hashlib
     import subprocess
 
-    from vadcl_tpu.utils.flops import cached_flops
-
-    def run(field):
-        def compute():
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--flops"],
-                capture_output=True, text=True, timeout=1200,
-                env={**os.environ, "JAX_PLATFORMS": "cpu"},
-            )
-            data = json.loads(out.stdout.strip().splitlines()[-1])
-            # cache both fields while we have them
-            cached_flops(FLOPS_CACHE, "train_flops_per_clip",
-                         lambda: data["train_flops_per_clip"])
-            return data[field]
-
-        return cached_flops(FLOPS_CACHE, field, compute)
-
+    key_src = f"{_flagship_config()!r}|{FRAMES}x{H}x{W}|bi64|bt32|v2"
+    digest = hashlib.sha1(key_src.encode()).hexdigest()[:16]
+    cache = {}
+    if os.path.exists(FLOPS_CACHE):
+        try:
+            with open(FLOPS_CACHE) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+    entry = cache.get(digest)
+    if not isinstance(entry, dict) or not {
+        "infer_flops_per_clip", "train_flops_per_clip"
+    } <= set(entry):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flops"],
+            capture_output=True, text=True, timeout=1200,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        entry = json.loads(out.stdout.strip().splitlines()[-1])
+        try:
+            with open(FLOPS_CACHE, "w") as f:
+                json.dump({digest: entry, "_key": key_src}, f, indent=1)
+        except OSError:
+            pass
     return {
-        "infer_flops_per_clip": run("infer_flops_per_clip"),
-        "train_flops_per_clip": run("train_flops_per_clip"),
+        "infer_flops_per_clip": float(entry["infer_flops_per_clip"]),
+        "train_flops_per_clip": float(entry["train_flops_per_clip"]),
     }
 
 

@@ -163,3 +163,82 @@ def test_mid_epoch_crash_resume_matches_uninterrupted(tmp_path):
         rec = np.load(str(tmp_path / run / "loss_record" / "loss_pixel.npy"))
         assert rec.shape == (total,), (run, rec.shape)
         assert np.all(np.isfinite(rec))
+
+
+def test_loss_records_complete_at_crash_point(tmp_path):
+    """A hard kill right AFTER an iter-checkpoint must lose no loss-record
+    entries: at save time the flushed records must already cover steps 1..N
+    (the metrics lag is drained before the save), so crash+resume yields a
+    loss_record identical to an uninterrupted run's (code-review round-2
+    finding: the lagged step-N metric used to be lost, shifting every later
+    entry by one)."""
+    from vadcl_tpu.core.config import (
+        ClusterConfig, Config, DataConfig, ModelConfig, OptimConfig,
+    )
+    from vadcl_tpu.data import ClipDataset, HostDataLoader, make_synthetic_dataset
+    from vadcl_tpu.train.loop import train
+
+    root = str(tmp_path / "data")
+    train_dir, _, _ = make_synthetic_dataset(
+        root, num_train_videos=2, num_test_videos=1, frames_per_video=11, size=56
+    )
+
+    def make_cfg(out):
+        return Config(
+            model=ModelConfig(
+                embed_dim=32,
+                encoder_depths=(1, 1),
+                encoder_heads=(2, 4),
+                decoder_depths=(1, 1),
+                decoder_heads=(4, 2),
+                cluster=ClusterConfig(
+                    feature_clusters=8, space_clusters=4, space_size=7
+                ),
+            ),
+            data=DataConfig(frame_num=4, image_size=(56, 56)),
+            optim=OptimConfig(lr=1e-4, epochs=1),
+            batch_size_per_device=4,
+            output_dir=str(tmp_path / out),
+            save_every_iters=2,
+        )
+
+    ds = ClipDataset(train_dir, frame_num=4, size=(56, 56))
+    loader = HostDataLoader(ds, batch_size=4, seed=0, num_workers=2)
+    assert loader.steps_per_epoch() >= 3
+
+    # uninterrupted reference run
+    train(make_cfg("run_a"), loader)
+    want = np.load(str(tmp_path / "run_a" / "loss_record" / "loss.npy"))
+
+    # crash AFTER the step-2 checkpoint: the loader raises on the next batch
+    # request, exactly the moment a SIGKILL between save and the next step
+    # would land; no graceful drain runs.
+    class CrashingLoader:
+        def __init__(self, inner, crash_after_batches):
+            self.inner = inner
+            self.crash_after = crash_after_batches
+
+        def __getattr__(self, name):  # batch_size etc. pass through
+            return getattr(self.inner, name)
+
+        def epoch(self, e, start_iter=0):
+            for i, b in enumerate(self.inner.epoch(e, start_iter), start=start_iter):
+                if i >= self.crash_after:
+                    raise KeyboardInterrupt("simulated kill")
+                yield b
+
+    cfg_b = make_cfg("run_b")
+    try:
+        train(cfg_b, CrashingLoader(loader, 2))
+        raise AssertionError("crash did not fire")
+    except KeyboardInterrupt:
+        pass
+    # the flushed records at the crash point must already include step 2
+    mid = np.load(str(tmp_path / "run_b" / "loss_record" / "loss.npy"))
+    assert len(mid) == 2, len(mid)
+    np.testing.assert_allclose(mid, want[:2], rtol=1e-6)
+
+    # resume to completion: records must equal the uninterrupted run's
+    train(cfg_b, loader)
+    got = np.load(str(tmp_path / "run_b" / "loss_record" / "loss.npy"))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -28,7 +28,11 @@ import numpy as np
 from vadcl_tpu.core.config import preset
 from vadcl_tpu.core.mesh import make_mesh, maybe_initialize_distributed
 from vadcl_tpu.data import ClipDataset
-from vadcl_tpu.eval.predict import evaluate_videos, make_window_scorer
+from vadcl_tpu.eval.predict import (
+    eval_input_frames,
+    evaluate_videos,
+    make_window_scorer,
+)
 from vadcl_tpu.models.backbone import VADModel
 from vadcl_tpu.train.checkpoint import tolerant_merge
 from vadcl_tpu.train.step import TrainState
@@ -119,14 +123,6 @@ def main():
         print(f"checkpoint: {len(hits)} loaded, {len(misses)} kept at init")
 
     def apply_fn(clips):
-        if args.backbone == "convae_predict":
-            clips = clips[:, :-1]  # model never sees the target frame
-        elif predict:
-            # the reference eval feeds exactly the first 4 frames of each
-            # window (tool/predict_evaluae.py:205-206: clip[:, :, 0:4])
-            from vadcl_tpu.train.step import PREDICT_INPUT_FRAMES
-
-            clips = clips[:, :PREDICT_INPUT_FRAMES]
         return model.apply(variables, clips).recon
 
     scorer = make_window_scorer(
@@ -136,6 +132,7 @@ def main():
         batch_windows=args.batch_windows,
         first_frame_quirk=args.protocol == "stride1_first_frame",
         mesh=mesh,
+        input_frames=eval_input_frames(args.backbone, predict, args.frame_num),
     )
     ds = ClipDataset(
         args.test_data_path,

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from vadcl_tpu.core.config import preset
 from vadcl_tpu.core.mesh import make_mesh, maybe_initialize_distributed
 from vadcl_tpu.data import ClipDataset, HostDataLoader
-from vadcl_tpu.eval.predict import evaluate_videos, make_window_scorer
+from vadcl_tpu.eval.predict import (
+    eval_input_frames,
+    evaluate_videos,
+    make_window_scorer,
+)
 from vadcl_tpu.models.backbone import VADModel
 from vadcl_tpu.train.loop import train
 
@@ -49,14 +53,6 @@ def build_eval_fn(cfg, test_dir, label_dir, mesh=None):
         variables = {"params": state.params, **state.extras}
 
         def apply_fn(clips):
-            if cfg.model.backbone == "convae_predict":
-                clips = clips[:, :-1]  # model never sees the target frame
-            elif predict:
-                # reference eval feeds the first 4 window frames only
-                # (tool/predict_evaluae.py:205-206: clip[:, :, 0:4])
-                from vadcl_tpu.train.step import PREDICT_INPUT_FRAMES
-
-                clips = clips[:, :PREDICT_INPUT_FRAMES]
             return model.apply(variables, clips).recon
 
         scorer = make_window_scorer(
@@ -65,6 +61,9 @@ def build_eval_fn(cfg, test_dir, label_dir, mesh=None):
             predict=predict,
             batch_windows=cfg.eval.batch_windows,
             mesh=mesh,
+            input_frames=eval_input_frames(
+                cfg.model.backbone, predict, cfg.data.frame_num
+            ),
         )
         auc, per_scene, _ = evaluate_videos(
             scorer,

@@ -23,7 +23,16 @@ host exactly as the reference does.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Dict, Iterable, List, NamedTuple, Sequence, Tuple
+from typing import (
+    Callable,
+    Dict,
+    Iterable,
+    List,
+    NamedTuple,
+    Optional,
+    Sequence,
+    Tuple,
+)
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +57,28 @@ def sliding_windows(
     return list(range(0, max(num_frames - frame_num, 0), stride))
 
 
+def eval_input_frames(
+    backbone: str, predict: bool, frame_num: int
+) -> Optional[int]:
+    """How many leading window frames the model sees at eval time (None =
+    the full window).  Single source of truth for every scorer construction
+    site (tools/train.py, tools/evaluate.py, __graft_entry__):
+
+    * ``convae_predict``: all but the target frame (MNAD semantics);
+    * flagship predict mode: exactly the first 4 frames — the reference
+      hardcodes ``clip[:, :, 0:4]`` (``tool/predict_evaluae.py:205-206``)
+      for any ``--frame_num``;
+    * reconstruction modes: the full window.
+    """
+    if backbone == "convae_predict":
+        return frame_num - 1
+    if predict:
+        from vadcl_tpu.train.step import PREDICT_INPUT_FRAMES
+
+        return PREDICT_INPUT_FRAMES
+    return None
+
+
 def make_window_scorer(
     apply_fn: Callable[[jax.Array], jax.Array],
     frame_num: int,
@@ -55,14 +86,18 @@ def make_window_scorer(
     batch_windows: int,
     first_frame_quirk: bool = False,
     mesh=None,
+    input_frames: Optional[int] = None,
 ) -> Callable[[np.ndarray], np.ndarray]:
     """Build a jitted scorer: (batch_windows, frame_num, H, W, C) float clip
     windows -> per-frame MSE, shape (batch_windows,) in predict mode or
     (batch_windows, frame_num) in recon mode.
 
     ``apply_fn(clips) -> recon`` is the model forward (already bound to
-    params); it receives the full ``frame_num``-frame window, matching
-    training (``tool/contrast_evaluae.py:205-208``).
+    params); it receives the first ``input_frames`` frames of each window
+    (``eval_input_frames`` encodes the per-backbone policy), or the full
+    ``frame_num``-frame window when ``input_frames`` is None
+    (``tool/contrast_evaluae.py:205-208``).  Targets always come from the
+    full window.
 
     With a ``mesh``, the window batch shards over the 'data' axis so eval
     scales across chips (``batch_windows`` must divide by the mesh size).
@@ -84,7 +119,8 @@ def make_window_scorer(
 
     @partial(jax.jit, **jit_kwargs)
     def score(clips: jax.Array) -> jax.Array:
-        recon = apply_fn(clips).astype(jnp.float32)
+        inputs = clips[:, :input_frames] if input_frames else clips
+        recon = apply_fn(inputs).astype(jnp.float32)
         clips32 = clips.astype(jnp.float32)
         if predict:
             target = (

@@ -19,11 +19,10 @@ import numpy as np
 from vadcl_tpu.models.layers import (
     DropPath,
     Mlp,
-    gelu,
     layer_norm,
     torch_weight_init,
 )
-from vadcl_tpu.ops.convs import conv3d, patchify_matmul
+from vadcl_tpu.ops.convs import patchify_matmul
 from vadcl_tpu.ops.pallas_attn_bwd import fused_window_attention_trainable
 from vadcl_tpu.ops.pallas_mlp import fused_ln_mlp
 from vadcl_tpu.ops.window import (

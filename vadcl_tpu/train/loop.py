@@ -175,12 +175,23 @@ def train(
                 process_metrics(*lagged)
             lagged = (m, epoch, it, batch, int(state.step))
             if cfg.save_every_iters and int(state.step) % cfg.save_every_iters == 0:
+                # Drain the lagged metric BEFORE the resume point: the saved
+                # checkpoint says step N, so loss_record must hold steps 1..N
+                # or a genuine crash right after this save loses step N's
+                # entry and shifts every later record by one.  We block on
+                # the device here anyway for the checkpoint fetch.
+                process_metrics(*lagged)
+                lagged = None
                 ckpt.save(str(int(state.step)), state, {"epoch": epoch, "iter": it})
                 flush_loss_records()
             if max_steps is not None and int(state.step) >= max_steps:
-                process_metrics(*lagged)
+                if lagged is not None:
+                    process_metrics(*lagged)
                 flush_loss_records()
                 return state
+        if lagged is not None:  # complete the epoch's records before flushing
+            process_metrics(*lagged)
+            lagged = None
         flush_loss_records()
         if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
             ckpt.save(

@@ -4,8 +4,10 @@ Loss parity with ``main_predict.py:273-284``:
   loss = ||(recon - target)^2||_F  +  mean(cluster_loss)  +  space_loss
 (the pixel term is the Frobenius norm of the *elementwise squared error* —
 ``torch.norm(MSELoss(reduction='none')(...))`` — reproduced exactly), with the
-predict-mode frame split of ``main_predict.py:234-241`` (input = first
-``frame_num`` frames, target = the last input frame).
+predict-mode frame split of ``main_predict.py:234-241`` (input = the first
+``PREDICT_INPUT_FRAMES`` (4) frames exactly as the reference hardcodes
+``video[:, :, 0:4]``, target = the window's last frame; at the default
+frame_num=4 the target overlaps the input — the reference's quirk).
 
 Staged-training flips (``main_predict.py:244-257``) are step-gated weights
 inside one compiled function: cluster losses activate at

@@ -14,8 +14,6 @@ dense-matmul numbers per TPU generation (bf16 unless noted).
 
 from __future__ import annotations
 
-import json
-import os
 from typing import Any, Callable, Optional
 
 # Published peak dense bf16 TFLOP/s per chip.
@@ -63,26 +61,6 @@ def lowered_flops(fn: Callable, *args: Any, **kwargs: Any) -> float:
     return float(analysis.get("flops", float("nan")))
 
 
-def cached_flops(cache_path: str, key: str, compute: Callable[[], float]) -> float:
-    """Memoize an (expensive-to-trace) FLOPs number in a json file keyed by a
-    config string, so benchmark reruns skip the ~10 s whole-model retrace."""
-    cache = {}
-    if os.path.exists(cache_path):
-        try:
-            with open(cache_path) as f:
-                cache = json.load(f)
-        except Exception:
-            cache = {}
-    if key in cache:
-        return float(cache[key])
-    value = float(compute())
-    cache[key] = value
-    try:
-        with open(cache_path, "w") as f:
-            json.dump(cache, f, indent=1)
-    except OSError:
-        pass
-    return value
 
 
 def mfu_pct(

@@ -33,6 +33,8 @@ def test_test_video_labels_and_scene(fixture_dirs):
                      label_root=label_dir, istest=True)
     frames, labels, scene = ds.get_test_video(0)
     assert frames.shape == (16, 32, 32, 3)
+    # uint8 frames: exact pre-/255 pixels (k/255.0 fp32 round-trips to k)
+    assert frames.dtype == np.uint8
     assert labels.shape == (16,)
     assert labels.sum() > 0  # fixture injects an anomaly span
     assert scene == "01"  # SS_VVVV -> SS

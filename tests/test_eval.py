@@ -146,3 +146,75 @@ def test_spmd_scorer_matches_single_device():
         apply_fn, 4, predict=True, batch_windows=8, mesh=make_mesh(8)
     )
     np.testing.assert_allclose(s1(windows), s2(windows), rtol=1e-6)
+
+
+def test_video_scorer_matches_window_scorer():
+    """Device-resident video scorer == host-window scorer, every mode:
+    predict/recon, f32/uint8 frames, input_frames slicing, mesh sharding."""
+    import jax.numpy as jnp
+
+    from vadcl_tpu.core.mesh import make_mesh
+    from vadcl_tpu.eval.predict import make_video_scorer, make_window_scorer
+
+    def apply_fn(clips):
+        return jnp.mean(clips, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(0)
+    T, fn_ = 23, 4
+    frames_u8 = rng.randint(0, 256, (T, 16, 16, 3)).astype(np.uint8)
+    frames = frames_u8.astype(np.float32) / 255.0
+    starts = sliding_windows(T, fn_, "stride1")
+    windows = np.stack([frames[s : s + fn_] for s in starts])
+
+    for predict in (True, False):
+        for input_frames in (None, 3):
+            def sliced_apply(clips, _n=input_frames):
+                return apply_fn(clips)
+
+            ws = make_window_scorer(
+                sliced_apply, fn_, predict=predict, batch_windows=8,
+                input_frames=input_frames,
+            )
+            vs = make_video_scorer(
+                sliced_apply, fn_, predict=predict, batch_windows=8,
+                input_frames=input_frames,
+            )
+            want = ws(windows)
+            np.testing.assert_allclose(vs(frames, starts), want, rtol=1e-6)
+            # uint8 frames: /255 on device reproduces the same fp32 pixels
+            np.testing.assert_allclose(vs(frames_u8, starts), want, rtol=1e-6)
+
+    # mesh-sharded video scorer
+    vs_mesh = make_video_scorer(
+        apply_fn, fn_, predict=True, batch_windows=8, mesh=make_mesh(8)
+    )
+    ws_ref = make_window_scorer(apply_fn, fn_, predict=True, batch_windows=8)
+    np.testing.assert_allclose(
+        vs_mesh(frames_u8, starts), ws_ref(windows), rtol=1e-6
+    )
+
+    # empty start list
+    assert make_video_scorer(
+        apply_fn, fn_, predict=True, batch_windows=8
+    )(frames, []).shape == (0,)
+
+
+def test_score_video_accepts_uint8_and_video_scorer():
+    """score_video feeds (frames, starts) to takes_video scorers and
+    normalizes uint8 for window scorers; results agree."""
+    import jax.numpy as jnp
+
+    from vadcl_tpu.eval.predict import make_video_scorer, make_window_scorer
+
+    def apply_fn(clips):
+        return jnp.mean(clips, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(1)
+    frames_u8 = rng.randint(0, 256, (17, 8, 8, 3)).astype(np.uint8)
+    labels = (rng.rand(17) > 0.5).astype(np.int64)
+    ws = make_window_scorer(apply_fn, 4, predict=True, batch_windows=4)
+    vs = make_video_scorer(apply_fn, 4, predict=True, batch_windows=4)
+    mse_w, lab_w = score_video(ws, frames_u8, labels, 4, True, "stride1")
+    mse_v, lab_v = score_video(vs, frames_u8, labels, 4, True, "stride1")
+    np.testing.assert_allclose(mse_w, mse_v, rtol=1e-6)
+    np.testing.assert_array_equal(lab_w, lab_v)

@@ -31,7 +31,7 @@ from vadcl_tpu.data import ClipDataset
 from vadcl_tpu.eval.predict import (
     eval_input_frames,
     evaluate_videos,
-    make_window_scorer,
+    make_video_scorer,
 )
 from vadcl_tpu.models.backbone import VADModel
 from vadcl_tpu.train.checkpoint import tolerant_merge
@@ -125,7 +125,7 @@ def main():
     def apply_fn(clips):
         return model.apply(variables, clips).recon
 
-    scorer = make_window_scorer(
+    scorer = make_video_scorer(
         apply_fn,
         frame_num=args.frame_num,
         predict=predict,

@@ -29,7 +29,7 @@ from vadcl_tpu.data import ClipDataset, HostDataLoader
 from vadcl_tpu.eval.predict import (
     eval_input_frames,
     evaluate_videos,
-    make_window_scorer,
+    make_video_scorer,
 )
 from vadcl_tpu.models.backbone import VADModel
 from vadcl_tpu.train.loop import train
@@ -55,7 +55,7 @@ def build_eval_fn(cfg, test_dir, label_dir, mesh=None):
         def apply_fn(clips):
             return model.apply(variables, clips).recon
 
-        scorer = make_window_scorer(
+        scorer = make_video_scorer(
             apply_fn,
             frame_num=cfg.data.frame_num,
             predict=predict,

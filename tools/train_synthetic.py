@@ -30,7 +30,11 @@ from vadcl_tpu.core.config import (
     OptimConfig,
 )
 from vadcl_tpu.data import ClipDataset, HostDataLoader, make_synthetic_dataset
-from vadcl_tpu.eval.predict import evaluate_videos, make_window_scorer
+from vadcl_tpu.eval.predict import (
+    eval_input_frames,
+    evaluate_videos,
+    make_video_scorer,
+)
 from vadcl_tpu.models.backbone import VADModel
 from vadcl_tpu.train.loop import train
 
@@ -82,8 +86,9 @@ def main():
     def apply_fn(clips):
         return model.apply(variables, clips).recon
 
-    scorer = make_window_scorer(
-        apply_fn, frame_num=4, predict=cfg.model.predict, batch_windows=8
+    scorer = make_video_scorer(
+        apply_fn, frame_num=4, predict=cfg.model.predict, batch_windows=8,
+        input_frames=eval_input_frames("swin", cfg.model.predict, 4),
     )
     test_ds = ClipDataset(
         test_dir, frame_num=4, size=(size, size), label_root=label_dir,

@@ -127,11 +127,19 @@ class ClipDataset:
         return load_clip(paths, self.size)
 
     def get_test_video(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
-        """Test sample: (frames (T,H,W,C), labels (T,), scene)."""
+        """Test sample: (frames (T,H,W,C) uint8, labels (T,), scene).
+
+        Frames come back uint8 (the exact pre-/255 pixel values — the
+        decode emits k/255.0 in fp32, so rint(f*255) recovers k bit-exactly)
+        so the eval path ships 4x less data to the device; the /255
+        normalization runs on-device (``make_video_scorer``) or at window
+        assembly (``score_video``), either way computing the identical
+        k/255.0 fp32 values the train path uses."""
         v = self.videos[index]
         name = os.path.basename(v)
         scene = name.split("_")[0]
         frames = load_clip(self.frames[v], self.size)
+        frames = np.rint(frames * 255.0).astype(np.uint8)
         if self.label_root:
             labels = np.load(os.path.join(self.label_root, name + ".npy"))
             labels = np.asarray(labels).ravel()

@@ -138,18 +138,97 @@ def make_window_scorer(
             windows = np.concatenate(
                 [windows, np.repeat(windows[-1:], pad, axis=0)], axis=0
             )
-        outs = []
-        for i in range(0, windows.shape[0], batch_windows):
-            outs.append(np.asarray(score(jnp.asarray(windows[i : i + batch_windows]))))
-        out = np.concatenate(outs, axis=0)
+        # dispatch every batch before reading any result back: jax dispatch
+        # is async, so the device (and the host->device transfer of batch
+        # i+1) overlaps the scoring of batch i instead of serializing on a
+        # per-batch np.asarray round-trip (which over a remote-TPU tunnel
+        # costs a full RTT per batch).  Score outputs are tiny (one float
+        # per frame), so holding them all on device is free.
+        futures = [
+            score(jnp.asarray(windows[i : i + batch_windows]))
+            for i in range(0, windows.shape[0], batch_windows)
+        ]
+        out = np.concatenate([np.asarray(f) for f in futures], axis=0)
         return out[:n]
 
     return run
 
 
+def make_video_scorer(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    frame_num: int,
+    predict: bool,
+    batch_windows: int,
+    first_frame_quirk: bool = False,
+    mesh=None,
+    input_frames: Optional[int] = None,
+) -> Callable[[np.ndarray, Sequence[int]], np.ndarray]:
+    """Device-resident variant of ``make_window_scorer``: the whole video
+    transfers to the device ONCE and sliding windows are gathered on-device.
+
+    The host-window path re-sends every frame ``frame_num`` times under the
+    stride-1 protocol (``tool/predict_evaluae.py:191-203`` materializes each
+    window) — with 224x224 fp32 frames that is ~4x the PCIe/tunnel traffic
+    plus one blocking round-trip per batch.  Here ``scorer(frames, starts)``
+    uploads frames once (uint8 accepted: /255 runs on device, another 4x
+    less transfer), gathers ``frames[start:start+frame_num]`` windows with an
+    on-device take, and pipelines every batch dispatch before any readback.
+    Returned callable carries ``takes_video = True`` so ``score_video``
+    feeds it (frames, starts) instead of materialized windows.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        batch_windows = -(-batch_windows // n_dev) * n_dev
+        batch_sharded = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        jit_kwargs = dict(
+            in_shardings=(replicated, batch_sharded), out_shardings=replicated
+        )
+    else:
+        jit_kwargs = {}
+
+    @partial(jax.jit, **jit_kwargs)
+    def score(video: jax.Array, starts: jax.Array) -> jax.Array:
+        v = video.astype(jnp.float32)
+        if video.dtype == jnp.uint8:
+            v = v / 255.0
+        idx = starts[:, None] + jnp.arange(frame_num)[None, :]
+        clips = jnp.take(v, idx, axis=0)  # (B, frame_num, H, W, C)
+        inputs = clips[:, :input_frames] if input_frames else clips
+        recon = apply_fn(inputs).astype(jnp.float32)
+        if predict:
+            target = clips[:, 0:1] if first_frame_quirk else clips[:, -1:]
+            err = (recon - target) ** 2
+            return jnp.mean(err, axis=(1, 2, 3, 4))
+        err = (recon - clips) ** 2
+        return jnp.mean(err, axis=(2, 3, 4))
+
+    def run(frames: np.ndarray, starts: Sequence[int]) -> np.ndarray:
+        starts = np.asarray(list(starts), np.int32)
+        n = starts.shape[0]
+        if n == 0:
+            return np.zeros((0,))
+        pad = (-n) % batch_windows
+        if pad:
+            starts = np.concatenate([starts, np.repeat(starts[-1:], pad)])
+        video = jnp.asarray(frames)  # ONE host->device transfer per video
+        futures = [
+            score(video, jnp.asarray(starts[i : i + batch_windows]))
+            for i in range(0, starts.shape[0], batch_windows)
+        ]
+        out = np.concatenate([np.asarray(f) for f in futures], axis=0)
+        return out[:n]
+
+    run.takes_video = True
+    return run
+
+
 def score_video(
     scorer: Callable[[np.ndarray], np.ndarray],
-    frames: np.ndarray,  # (T, H, W, C) float in [0, 1]
+    frames: np.ndarray,  # (T, H, W, C) float in [0, 1] (or uint8 for
+    #                      video-resident scorers)
     labels: np.ndarray,  # (T,) int
     frame_num: int,
     predict: bool,
@@ -159,8 +238,13 @@ def score_video(
     starts = sliding_windows(frames.shape[0], frame_num, protocol)
     if not starts:
         return np.zeros((0,)), np.zeros((0,), np.int64)
-    windows = np.stack([frames[s : s + frame_num] for s in starts])
-    mse = scorer(windows)
+    if getattr(scorer, "takes_video", False):
+        mse = scorer(frames, starts)
+    else:
+        windows = np.stack([frames[s : s + frame_num] for s in starts])
+        if windows.dtype == np.uint8:
+            windows = windows.astype(np.float32) / 255.0
+        mse = scorer(windows)
     labels = np.asarray(labels).ravel()
     if predict:
         frame_mse = mse.ravel()

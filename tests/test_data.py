@@ -23,8 +23,9 @@ def test_train_sample_enumeration(fixture_dirs):
     assert len(ds) == 2 * (16 - 4 + 1)
     clip = ds.get_clip(0)
     assert clip.shape == (4, 32, 32, 3)
-    assert clip.dtype == np.float32
-    assert 0.0 <= clip.min() and clip.max() <= 1.0  # raw /255, no mean/std
+    # uint8 on the wire; the jitted train step divides by 255 on device
+    # (exact pre-/255 pixels, no mean/std anywhere)
+    assert clip.dtype == np.uint8
 
 
 def test_test_video_labels_and_scene(fixture_dirs):

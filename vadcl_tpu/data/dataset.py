@@ -117,14 +117,20 @@ class ClipDataset:
         return len(self.samples)
 
     def get_clip(self, index: int) -> np.ndarray:
-        """Train sample: (frame_num, H, W, C)."""
+        """Train sample: (frame_num, H, W, C) uint8.
+
+        uint8 on the wire, /255 on device (the jitted train step
+        normalizes): 4x less host->device traffic per batch, numerically
+        identical to host-side /255 — the decode emits k/255.0 fp32, so
+        rint(f*255) recovers k bit-exactly and the device computes the same
+        k/255.0."""
         vi, start = self.samples[index]
         paths = self.frames[self.videos[vi]][start : start + self.frame_num]
         if len(paths) < self.frame_num:
             # lookahead walked off the end (reference would 404 on the
             # synthesized filename); clamp by repeating the last frame
             paths = paths + [paths[-1]] * (self.frame_num - len(paths))
-        return load_clip(paths, self.size)
+        return np.rint(load_clip(paths, self.size) * 255.0).astype(np.uint8)
 
     def get_test_video(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
         """Test sample: (frames (T,H,W,C) uint8, labels (T,), scene).

@@ -59,6 +59,15 @@ class StepMetrics(NamedTuple):
 PREDICT_INPUT_FRAMES = 4  # the reference's literal ``video[:, :, 0:4]``
 
 
+def normalize_clip(clip: jax.Array) -> jax.Array:
+    """uint8 batches normalize ON DEVICE (k -> k/255.0 fp32, bit-identical
+    to the host-side /255 the float path carries); float batches pass
+    through.  Static dtype branch — resolved at trace time."""
+    if clip.dtype == jnp.uint8:
+        return clip.astype(jnp.float32) / 255.0
+    return clip
+
+
 def split_predict_batch(
     clip: jax.Array, frame_num: int, predict: bool, overlap_quirk: bool = True
 ) -> Tuple[jax.Array, jax.Array]:
@@ -93,6 +102,7 @@ def make_loss_fn(model: VADModel, cfg: Config):
     dropout_root = jax.random.key(cfg.seed + 0x5EED)
 
     def loss_fn(params, extras, clip, step):
+        clip = normalize_clip(clip)
         inputs, target = split_predict_batch(
             clip, cfg.data.frame_num, predict, overlap_quirk=overlap_quirk
         )
@@ -148,6 +158,7 @@ def create_train_state(
     steps_per_epoch: int,
 ) -> Tuple[TrainState, Any]:
     """Initialize params + torch-Adam state; returns (state, tx)."""
+    sample_clip = normalize_clip(jnp.asarray(sample_clip))
     inputs, _ = split_predict_batch(
         sample_clip,
         cfg.data.frame_num,

@@ -23,8 +23,13 @@ from PIL import Image
 def save_clip_frames(
     clip: np.ndarray, output_dir: str = "video_show", save_name: Optional[str] = None
 ) -> None:
-    """clip: (B, T, H, W, C) float in [0, 1] -> <dir>/<b>/imgN.jpg per frame."""
-    clip = np.asarray(clip, np.float32)
+    """clip: (B, T, H, W, C) float in [0, 1] or uint8 ->
+    <dir>/<b>/imgN.jpg per frame."""
+    clip = np.asarray(clip)
+    if clip.dtype == np.uint8:
+        clip = clip.astype(np.float32) / 255.0
+    else:
+        clip = clip.astype(np.float32)
     os.makedirs(output_dir, exist_ok=True)
     for b in range(clip.shape[0]):
         vdir = os.path.join(output_dir, str(b))

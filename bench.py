@@ -146,10 +146,17 @@ def get_flops() -> dict:
             capture_output=True, text=True, timeout=1200,
             env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            raise RuntimeError(
+                f"--flops subprocess failed (rc={out.returncode}): "
+                f"{out.stderr.strip()[-800:]}"
+            )
         entry = json.loads(out.stdout.strip().splitlines()[-1])
+        cache[digest] = entry  # merge: other configs' entries survive
+        cache[f"_key_{digest}"] = key_src
         try:
             with open(FLOPS_CACHE, "w") as f:
-                json.dump({digest: entry, "_key": key_src}, f, indent=1)
+                json.dump(cache, f, indent=1)
         except OSError:
             pass
     return {

@@ -48,12 +48,19 @@ def load_clip(
     frame_paths: Sequence[str],
     size: Tuple[int, int] = (224, 224),
     use_native: bool = True,
+    as_uint8: bool = False,
 ) -> np.ndarray:
-    """(T, H, W, C) float32 in [0, 1].
+    """(T, H, W, C) float32 in [0, 1], or uint8 pixels with ``as_uint8``.
 
     Uses the C++ threaded decoder (vadcl_tpu.data.native) when built and the
     frames are JPEG; falls back to PIL otherwise.
-    """
+
+    ``as_uint8`` reproduces the REFERENCE pipeline's quantization point: the
+    reference resizes as a PIL image (uint8) and only then /255s
+    (``dataset/utils_dataset.py:168-188``), so every pixel is k/255.  The
+    PIL path here is bit-exact by construction; the native resampler works
+    in float space, so its output is rounded to the same uint8 grid
+    (<= 0.5/255 from its unquantized value, i.e. tighter PIL parity)."""
     if use_native and all(
         p.lower().endswith((".jpg", ".jpeg")) for p in frame_paths
     ):
@@ -61,10 +68,16 @@ def load_clip(
 
         if native.available():
             try:
-                return native.decode_resize_batch(frame_paths, size)
+                out = native.decode_resize_batch(frame_paths, size)
+                if as_uint8:
+                    return np.rint(out * 255.0).astype(np.uint8)
+                return out
             except (IOError, RuntimeError):
                 pass
-    return np.stack([_decode_resize(p, size) for p in frame_paths])
+    out = np.stack([_decode_resize(p, size) for p in frame_paths])
+    if as_uint8:
+        return np.rint(out * 255.0).astype(np.uint8)
+    return out
 
 
 def load_video(
@@ -120,32 +133,30 @@ class ClipDataset:
         """Train sample: (frame_num, H, W, C) uint8.
 
         uint8 on the wire, /255 on device (the jitted train step
-        normalizes): 4x less host->device traffic per batch, numerically
-        identical to host-side /255 — the decode emits k/255.0 fp32, so
-        rint(f*255) recovers k bit-exactly and the device computes the same
-        k/255.0."""
+        normalizes): 4x less host->device traffic per batch, and the uint8
+        quantization point matches the reference pipeline exactly (resize
+        as uint8 image, then /255 — see ``load_clip``)."""
         vi, start = self.samples[index]
         paths = self.frames[self.videos[vi]][start : start + self.frame_num]
         if len(paths) < self.frame_num:
             # lookahead walked off the end (reference would 404 on the
             # synthesized filename); clamp by repeating the last frame
             paths = paths + [paths[-1]] * (self.frame_num - len(paths))
-        return np.rint(load_clip(paths, self.size) * 255.0).astype(np.uint8)
+        return load_clip(paths, self.size, as_uint8=True)
 
     def get_test_video(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
         """Test sample: (frames (T,H,W,C) uint8, labels (T,), scene).
 
-        Frames come back uint8 (the exact pre-/255 pixel values — the
-        decode emits k/255.0 in fp32, so rint(f*255) recovers k bit-exactly)
-        so the eval path ships 4x less data to the device; the /255
-        normalization runs on-device (``make_video_scorer``) or at window
-        assembly (``score_video``), either way computing the identical
-        k/255.0 fp32 values the train path uses."""
+        Frames come back uint8 (quantization point identical to the
+        reference pipeline — see ``load_clip``) so the eval path ships 4x
+        less data to the device; the /255 normalization runs on-device
+        (``make_video_scorer``) or at window assembly (``score_video``),
+        either way computing the identical k/255.0 fp32 values the train
+        path uses."""
         v = self.videos[index]
         name = os.path.basename(v)
         scene = name.split("_")[0]
-        frames = load_clip(self.frames[v], self.size)
-        frames = np.rint(frames * 255.0).astype(np.uint8)
+        frames = load_clip(self.frames[v], self.size, as_uint8=True)
         if self.label_root:
             labels = np.load(os.path.join(self.label_root, name + ".npy"))
             labels = np.asarray(labels).ravel()

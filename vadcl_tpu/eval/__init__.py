@@ -6,7 +6,9 @@ from vadcl_tpu.eval.scoring import (
 )
 from vadcl_tpu.eval.predict import (
     VideoScores,
+    eval_input_frames,
     evaluate_videos,
+    make_video_scorer,
     make_window_scorer,
     sliding_windows,
 )
@@ -17,7 +19,9 @@ __all__ = [
     "psnr",
     "roc_auc",
     "VideoScores",
+    "eval_input_frames",
     "evaluate_videos",
+    "make_video_scorer",
     "make_window_scorer",
     "sliding_windows",
 ]

@@ -38,6 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Video lengths round up to this multiple before the device transfer so the
+# jitted video scorer compiles once per bucket, not once per distinct T.
+_T_BUCKET = 64
+# Max pipelined score batches in flight (bounds device input buffers).
+_MAX_IN_FLIGHT = 8
+
 from vadcl_tpu.eval.scoring import anomaly_score, mean_scene_auc, per_scene_auc, psnr
 
 
@@ -119,6 +125,8 @@ def make_window_scorer(
 
     @partial(jax.jit, **jit_kwargs)
     def score(clips: jax.Array) -> jax.Array:
+        if clips.dtype == jnp.uint8:
+            clips = clips.astype(jnp.float32) / 255.0
         inputs = clips[:, :input_frames] if input_frames else clips
         recon = apply_fn(inputs).astype(jnp.float32)
         clips32 = clips.astype(jnp.float32)
@@ -138,17 +146,20 @@ def make_window_scorer(
             windows = np.concatenate(
                 [windows, np.repeat(windows[-1:], pad, axis=0)], axis=0
             )
-        # dispatch every batch before reading any result back: jax dispatch
-        # is async, so the device (and the host->device transfer of batch
-        # i+1) overlaps the scoring of batch i instead of serializing on a
-        # per-batch np.asarray round-trip (which over a remote-TPU tunnel
-        # costs a full RTT per batch).  Score outputs are tiny (one float
-        # per frame), so holding them all on device is free.
-        futures = [
-            score(jnp.asarray(windows[i : i + batch_windows]))
-            for i in range(0, windows.shape[0], batch_windows)
-        ]
-        out = np.concatenate([np.asarray(f) for f in futures], axis=0)
+        # pipelined dispatch: jax dispatch is async, so the device (and the
+        # host->device transfer of batch i+1) overlaps the scoring of batch
+        # i instead of serializing on a per-batch np.asarray round-trip
+        # (which over a remote-TPU tunnel costs a full RTT per batch).  The
+        # in-flight window is bounded so a long video cannot queue
+        # gigabytes of input buffers on the device at once.
+        outs: List[np.ndarray] = []
+        futures: List[jax.Array] = []
+        for i in range(0, windows.shape[0], batch_windows):
+            futures.append(score(jnp.asarray(windows[i : i + batch_windows])))
+            if len(futures) >= _MAX_IN_FLIGHT:
+                outs.append(np.asarray(futures.pop(0)))
+        outs.extend(np.asarray(f) for f in futures)
+        out = np.concatenate(outs, axis=0)
         return out[:n]
 
     return run
@@ -209,16 +220,32 @@ def make_video_scorer(
         starts = np.asarray(list(starts), np.int32)
         n = starts.shape[0]
         if n == 0:
-            return np.zeros((0,))
+            return np.zeros((0,) if predict else (0, frame_num), np.float32)
         pad = (-n) % batch_windows
         if pad:
             starts = np.concatenate([starts, np.repeat(starts[-1:], pad)])
+        # bucket T to the next _T_BUCKET multiple (pad repeats the last
+        # frame; starts never index the padding) so jit compiles once per
+        # bucket instead of once per distinct video length
+        t = frames.shape[0]
+        t_pad = (-t) % _T_BUCKET
+        if t_pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], t_pad, axis=0)], axis=0
+            )
         video = jnp.asarray(frames)  # ONE host->device transfer per video
-        futures = [
-            score(video, jnp.asarray(starts[i : i + batch_windows]))
-            for i in range(0, starts.shape[0], batch_windows)
-        ]
-        out = np.concatenate([np.asarray(f) for f in futures], axis=0)
+        outs: List[np.ndarray] = []
+        futures: List[jax.Array] = []
+        for i in range(0, starts.shape[0], batch_windows):
+            futures.append(
+                score(video, jnp.asarray(starts[i : i + batch_windows]))
+            )
+            # bound in-flight batches: overlap without queueing a whole
+            # long video's worth of device buffers
+            if len(futures) >= _MAX_IN_FLIGHT:
+                outs.append(np.asarray(futures.pop(0)))
+        outs.extend(np.asarray(f) for f in futures)
+        out = np.concatenate(outs, axis=0)
         return out[:n]
 
     run.takes_video = True
@@ -241,9 +268,8 @@ def score_video(
     if getattr(scorer, "takes_video", False):
         mse = scorer(frames, starts)
     else:
+        # uint8 windows transfer as-is; the scorer normalizes on device
         windows = np.stack([frames[s : s + frame_num] for s in starts])
-        if windows.dtype == np.uint8:
-            windows = windows.astype(np.float32) / 255.0
         mse = scorer(windows)
     labels = np.asarray(labels).ravel()
     if predict:

@@ -111,13 +111,10 @@ Weights precompute_weights(int in_size, int out_size) {
   return wt;
 }
 
-// Resize RGB8 (h, w) -> float32 (out_h, out_w), already /255.
-void resize_normalize(const unsigned char* src, int w, int h, int out_w,
-                      int out_h, float* dst) {
-  Weights wx = precompute_weights(w, out_w);
-  Weights wy = precompute_weights(h, out_h);
-  // horizontal pass: (h, out_w, 3) fp32
-  std::vector<float> tmp(size_t(h) * out_w * 3);
+// Shared horizontal pass: RGB8 (h, w) -> fp32 (h, out_w, 3), 0-255 scale.
+void horizontal_pass(const unsigned char* src, int w, int h, int out_w,
+                     const Weights& wx, std::vector<float>& tmp) {
+  tmp.resize(size_t(h) * out_w * 3);
   for (int y = 0; y < h; ++y) {
     const unsigned char* row = src + size_t(y) * w * 3;
     float* orow = tmp.data() + size_t(y) * out_w * 3;
@@ -138,6 +135,15 @@ void resize_normalize(const unsigned char* src, int w, int h, int out_w,
       orow[x * 3 + 2] = b;
     }
   }
+}
+
+// Resize RGB8 (h, w) -> float32 (out_h, out_w), already /255.
+void resize_normalize(const unsigned char* src, int w, int h, int out_w,
+                      int out_h, float* dst) {
+  Weights wx = precompute_weights(w, out_w);
+  Weights wy = precompute_weights(h, out_h);
+  std::vector<float> tmp;
+  horizontal_pass(src, w, h, out_w, wx, tmp);
   // vertical pass -> dst
   const float inv255 = 1.0f / 255.0f;
   for (int y = 0; y < out_h; ++y) {
@@ -156,11 +162,43 @@ void resize_normalize(const unsigned char* src, int w, int h, int out_w,
   }
 }
 
+// Resize RGB8 (h, w) -> uint8 (out_h, out_w): PIL's quantization point
+// (round-half-up + clamp at the end of the vertical pass, like Pillow's
+// clip8), so pixels land on the same uint8 grid the reference pipeline's
+// PIL resize produces.
+void resize_quantize(const unsigned char* src, int w, int h, int out_w,
+                     int out_h, unsigned char* dst) {
+  Weights wx = precompute_weights(w, out_w);
+  Weights wy = precompute_weights(h, out_h);
+  std::vector<float> tmp;
+  horizontal_pass(src, w, h, out_w, wx, tmp);
+  std::vector<float> acc(size_t(out_w) * 3);
+  for (int y = 0; y < out_h; ++y) {
+    const float* k = wy.coefs.data() + size_t(y) * wy.ksize;
+    int y0 = wy.bounds[y];
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    for (int i = 0; i < wy.ksize; ++i) {
+      int yi = y0 + i;
+      if (yi >= h) break;
+      float c = k[i];
+      const float* irow = tmp.data() + size_t(yi) * out_w * 3;
+      for (int x = 0; x < out_w * 3; ++x) acc[x] += c * irow[x];
+    }
+    unsigned char* orow = dst + size_t(y) * out_w * 3;
+    for (int x = 0; x < out_w * 3; ++x) {
+      float v = acc[x] + 0.5f;
+      orow[x] = v <= 0.0f ? 0 : (v >= 255.0f ? 255 : (unsigned char)v);
+    }
+  }
+}
+
 }  // namespace
 
-extern "C" int vadcl_decode_resize_batch(const char** paths, int n, int out_h,
-                                         int out_w, float* out,
-                                         int num_threads) {
+namespace {
+
+template <typename T, typename ResizeFn>
+int run_batch(const char** paths, int n, int out_h, int out_w, T* out,
+              int num_threads, ResizeFn resize) {
   if (num_threads < 1) num_threads = 1;
   std::atomic<int> next(0);
   std::atomic<int> failed(0);
@@ -175,8 +213,8 @@ extern "C" int vadcl_decode_resize_batch(const char** paths, int n, int out_h,
         failed.compare_exchange_strong(expect, i + 1);
         return;
       }
-      resize_normalize(rgb.data(), w, h, out_w, out_h,
-                       out + size_t(i) * out_h * out_w * 3);
+      resize(rgb.data(), w, h, out_w, out_h,
+             out + size_t(i) * out_h * out_w * 3);
     }
   };
   std::vector<std::thread> threads;
@@ -184,4 +222,22 @@ extern "C" int vadcl_decode_resize_batch(const char** paths, int n, int out_h,
   for (int t = 0; t < nthreads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failed.load();
+}
+
+}  // namespace
+
+extern "C" int vadcl_decode_resize_batch(const char** paths, int n, int out_h,
+                                         int out_w, float* out,
+                                         int num_threads) {
+  return run_batch(paths, n, out_h, out_w, out, num_threads,
+                   resize_normalize);
+}
+
+// uint8 output on the PIL quantization grid (see resize_quantize) — feeds
+// the uint8-on-the-wire input pipeline without a Python-side rounding pass.
+extern "C" int vadcl_decode_resize_batch_u8(const char** paths, int n,
+                                            int out_h, int out_w,
+                                            unsigned char* out,
+                                            int num_threads) {
+  return run_batch(paths, n, out_h, out_w, out, num_threads, resize_quantize);
 }

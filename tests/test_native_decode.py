@@ -66,3 +66,31 @@ def test_load_clip_native_fallback(jpegs):
     b = load_clip(jpegs, (112, 112), use_native=False)
     assert a.shape == b.shape
     assert np.abs(a - b).max() < 6e-3
+
+
+def test_native_u8_matches_float_rounding(jpegs):
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    if not native.has_u8():
+        pytest.skip("u8 entry point not built")
+    size = (224, 224)
+    u8 = native.decode_resize_batch_u8(jpegs, size)
+    assert u8.dtype == np.uint8 and u8.shape == (3, 224, 224, 3)
+    # same resampler, quantized at the vertical-pass end; the float path
+    # re-rounded on the host may differ by 1 on exact .5 ties (rint is
+    # round-half-even, the C++ clip8 is round-half-up)
+    f = native.decode_resize_batch(jpegs, size)
+    np.testing.assert_allclose(
+        u8.astype(np.int32), np.rint(f * 255.0).astype(np.int32), atol=1
+    )
+
+
+def test_load_clip_as_uint8_paths(jpegs):
+    from vadcl_tpu.data.dataset import load_clip
+
+    a = load_clip(jpegs, (112, 112), use_native=True, as_uint8=True)
+    b = load_clip(jpegs, (112, 112), use_native=False, as_uint8=True)
+    assert a.dtype == b.dtype == np.uint8
+    # native and PIL resamplers agree within the established envelope
+    # (6e-3 in [0,1] units ~ 1.5 uint8 steps) plus the quantization step
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 3

@@ -68,6 +68,8 @@ def load_clip(
 
         if native.available():
             try:
+                if as_uint8 and native.has_u8():
+                    return native.decode_resize_batch_u8(frame_paths, size)
                 out = native.decode_resize_batch(frame_paths, size)
                 if as_uint8:
                     return np.rint(out * 255.0).astype(np.uint8)

@@ -43,13 +43,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        so = _SO if os.path.exists(_SO) else _build()
+        stale = os.path.exists(_SO) and (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
+        so = _SO if os.path.exists(_SO) and not stale else _build()
         if so is None:
             return None
         try:
             lib = ctypes.CDLL(so)
-            lib.vadcl_decode_resize_batch.restype = ctypes.c_int
-            lib.vadcl_decode_resize_batch.argtypes = [
+            batch_args = [
                 ctypes.POINTER(ctypes.c_char_p),
                 ctypes.c_int,
                 ctypes.c_int,
@@ -57,6 +59,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int,
             ]
+            lib.vadcl_decode_resize_batch.restype = ctypes.c_int
+            lib.vadcl_decode_resize_batch.argtypes = batch_args
+            if hasattr(lib, "vadcl_decode_resize_batch_u8"):
+                lib.vadcl_decode_resize_batch_u8.restype = ctypes.c_int
+                lib.vadcl_decode_resize_batch_u8.argtypes = batch_args[:4] + [
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_int,
+                ]
             _lib = lib
         except OSError:
             _lib = None
@@ -80,6 +90,32 @@ def decode_resize_batch(
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     rc = lib.vadcl_decode_resize_batch(
         arr, n, h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"native decode failed for {paths[rc - 1]!r}")
+    return out
+
+
+def has_u8() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "vadcl_decode_resize_batch_u8")
+
+
+def decode_resize_batch_u8(
+    paths: Sequence[str], size: Tuple[int, int], num_threads: int = 8
+) -> np.ndarray:
+    """paths -> (N, H, W, 3) uint8 on the PIL quantization grid (the
+    reference pipeline's resize-as-uint8-image point).  Raises on failure."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "vadcl_decode_resize_batch_u8"):
+        raise RuntimeError("native u8 decoder unavailable")
+    n = len(paths)
+    h, w = size
+    out = np.empty((n, h, w, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.vadcl_decode_resize_batch_u8(
+        arr, n, h, w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         num_threads,
     )
     if rc != 0:

@@ -50,7 +50,7 @@ def bench_fn(name, fn, *args, iters=8, gflops=None):
         best = min(best, (time.time() - t0) / iters * 1000)
     extra = ""
     if gflops:
-        extra = f"  {gflops / best:8.1f} GFLOP/s ({gflops / best / 197e0 * 100:4.1f}% v5e peak)"
+        extra = f"  {gflops / best:8.1f} GFLOP/s ({gflops / best / 197e3 * 100:4.2f}% v5e peak)"
     print(f"{name:36s} {best:8.3f} ms{extra}")
     return best
 
@@ -64,7 +64,10 @@ def main():
 
     from vadcl_tpu.models.layers import Mlp, layer_norm
     from vadcl_tpu.models.swin import SwinBlock3D
-    from vadcl_tpu.ops.pallas_attn import fused_window_attention
+    from vadcl_tpu.ops.pallas_attn import (
+        fused_window_attention,
+        fused_window_attention_packed,
+    )
     from vadcl_tpu.ops.window import (
         get_window_size,
         window_attention,
@@ -131,6 +134,14 @@ def main():
     bench_fn(
         "fused attention kernel",
         lambda a: fused_window_attention(
+            a, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH, n_windows,
+            (C // nH) ** -0.5,
+        ),
+        wins_x, iters=K, gflops=attn_gflops,
+    )
+    bench_fn(
+        "packed attention kernel",
+        lambda a: fused_window_attention_packed(
             a, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH, n_windows,
             (C // nH) ** -0.5,
         ),

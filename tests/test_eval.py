@@ -218,3 +218,30 @@ def test_score_video_accepts_uint8_and_video_scorer():
     mse_v, lab_v = score_video(vs, frames_u8, labels, 4, True, "stride1")
     np.testing.assert_allclose(mse_w, mse_v, rtol=1e-6)
     np.testing.assert_array_equal(lab_w, lab_v)
+
+
+def test_eval_input_frames_policy():
+    """Single source of truth for eval-time input slicing (per-backbone)."""
+    from vadcl_tpu.eval.predict import eval_input_frames
+    from vadcl_tpu.train.step import PREDICT_INPUT_FRAMES
+
+    assert eval_input_frames("swin", True, 4) == PREDICT_INPUT_FRAMES
+    assert eval_input_frames("swin", True, 7) == PREDICT_INPUT_FRAMES
+    assert eval_input_frames("swin", False, 4) is None
+    assert eval_input_frames("convae_predict", True, 5) == 4
+    assert eval_input_frames("unet3d", False, 4) is None
+
+
+def test_normalize_clip_exact():
+    """uint8 -> k/255.0 fp32 on device equals the host-side /255 bit-for-bit;
+    float input passes through untouched."""
+    import jax.numpy as jnp
+
+    from vadcl_tpu.train.step import normalize_clip
+
+    k = np.arange(256, dtype=np.uint8).reshape(1, 1, 16, 16, 1)
+    got = np.asarray(normalize_clip(jnp.asarray(k)))
+    want = k.astype(np.float32) / 255.0
+    np.testing.assert_array_equal(got, want)
+    f = jnp.asarray(want)
+    assert normalize_clip(f) is f

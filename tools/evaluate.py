@@ -63,9 +63,18 @@ def main():
 
     # multi-chip eval: shard the window batch over all devices (the TPU-native
     # analogue of the reference DDP-wrapping its eval tools,
-    # tool/contrast_evaluae.py:148-153)
+    # tool/contrast_evaluae.py:148-153).  Mesh eval is single-process only:
+    # the scorers commit whole videos to local devices and jit over the global
+    # mesh, which cannot reshard onto a non-fully-addressable mesh — in a
+    # multi-process launch each process falls back to scoring its own videos
+    # on its first local device (partition the video list across hosts
+    # externally; per-scene AUC is additive over videos).
     maybe_initialize_distributed()
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    mesh = (
+        make_mesh()
+        if len(jax.devices()) > 1 and jax.process_count() == 1
+        else None
+    )
 
     cfg = preset(args.preset)
     predict = args.predict or args.backbone == "convae_predict"

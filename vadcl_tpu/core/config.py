@@ -67,6 +67,17 @@ class ModelConfig:
     memory_size: int = 10
     memory_dim: int = 512
 
+    def __post_init__(self):
+        # construction-time guard: the fused Pallas attention kernel has no
+        # attention-dropout path (live reference rate is 0); without this a
+        # fused run with attn_drop_rate > 0 would silently skip dropout.
+        if self.fused_attention and self.attn_drop_rate > 0.0:
+            raise ValueError(
+                "fused_attention=True has no attention-dropout path; set "
+                "attn_drop_rate=0 or fused_attention=False "
+                f"(got attn_drop_rate={self.attn_drop_rate})"
+            )
+
 
 @dataclass(frozen=True)
 class DataConfig:

@@ -61,7 +61,8 @@ class HostDataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch: int, start_iter: int = 0) -> Iterator[np.ndarray]:
-        """Yields (batch_size, frame_num, H, W, C) float32 batches.
+        """Yields (batch_size, frame_num, H, W, C) uint8 batches
+        (normalized to [0, 1] on device by the train step / scorer).
 
         ``start_iter`` fast-forwards past the first N batches of the epoch's
         deterministic permutation (mid-epoch resume: the sampler continues

@@ -43,8 +43,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        stale = os.path.exists(_SO) and (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        # missing source (e.g. packaged install shipping only the .so) is
+        # treated as not-stale rather than letting getmtime raise
+        stale = (
+            os.path.exists(_SO)
+            and os.path.exists(_SRC)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
         )
         so = _SO if os.path.exists(_SO) and not stale else _build()
         if so is None:

@@ -77,6 +77,11 @@ def eval_input_frames(
     * reconstruction modes: the full window.
     """
     if backbone == "convae_predict":
+        if frame_num < 2:
+            raise ValueError(
+                "convae_predict needs frame_num >= 2 (frame_num-1 input "
+                f"frames + 1 target), got {frame_num}"
+            )
         return frame_num - 1
     if predict:
         from vadcl_tpu.train.step import PREDICT_INPUT_FRAMES
@@ -127,7 +132,7 @@ def make_window_scorer(
     def score(clips: jax.Array) -> jax.Array:
         if clips.dtype == jnp.uint8:
             clips = clips.astype(jnp.float32) / 255.0
-        inputs = clips[:, :input_frames] if input_frames else clips
+        inputs = clips[:, :input_frames] if input_frames is not None else clips
         recon = apply_fn(inputs).astype(jnp.float32)
         clips32 = clips.astype(jnp.float32)
         if predict:
@@ -207,7 +212,7 @@ def make_video_scorer(
             v = v / 255.0
         idx = starts[:, None] + jnp.arange(frame_num)[None, :]
         clips = jnp.take(v, idx, axis=0)  # (B, frame_num, H, W, C)
-        inputs = clips[:, :input_frames] if input_frames else clips
+        inputs = clips[:, :input_frames] if input_frames is not None else clips
         recon = apply_fn(inputs).astype(jnp.float32)
         if predict:
             target = clips[:, 0:1] if first_frame_quirk else clips[:, -1:]

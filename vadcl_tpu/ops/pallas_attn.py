@@ -134,9 +134,12 @@ def _attn_kernel_packed(
     tile of V — K-extents of C and nH*N instead of hd.  ~2.8x padded FLOPs,
     ~6x fewer+fatter MXU ops: measured ~2x faster at stage geometries.
 
-    Blockwise softmax uses the global row max (exact: the same constant
-    shifts every head's block; per-block denominators come from ONE
-    ``exp_s @ indicator`` dot and are broadcast back with a second tiny dot).
+    Blockwise softmax subtracts a PER-HEAD row max (broadcast back across
+    each head's lane block): a global row max would be exact in real
+    arithmetic but underflows a whole head's block to exp()=0 when its
+    scores sit >~88 below the max in fp32, making sums=0 and 1/sums=inf.
+    Per-block denominators come from ONE ``exp_s @ indicator`` dot and are
+    broadcast back with a second tiny dot.
     """
     wins, n, c = x_ref.shape
     hd = c // num_heads
@@ -169,7 +172,22 @@ def _attn_kernel_packed(
         s = s + bias_ref[0] + jnp.concatenate(
             [mask_ref[0, w]] * num_heads, axis=1
         )
-        m = jnp.max(s, axis=1, keepdims=True)
+        # per-head row max: slice each head's lane block, broadcast back —
+        # guarantees every block's max exponent is exactly 0 (sums >= 1)
+        m = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.max(
+                        jax.lax.slice_in_dim(s, h * n, (h + 1) * n, axis=1),
+                        axis=1,
+                        keepdims=True,
+                    ),
+                    (n, n),
+                )
+                for h in range(num_heads)
+            ],
+            axis=1,
+        )  # (n, L)
         e = jnp.exp(s - m)
         sums = jnp.dot(e, blk, preferred_element_type=jnp.float32)  # (n, nH)
         dbc = jax.lax.dot_general(
@@ -315,6 +333,12 @@ def fused_window_attention_packed(
     """Head-packed forward (see ``_attn_kernel_packed``); same contract as
     ``fused_window_attention``."""
     bn, n, c = x_windows.shape
+    if wins_override and (n_windows % wins_override or bn % wins_override):
+        raise ValueError(
+            f"wins_override={wins_override} must divide n_windows="
+            f"{n_windows} and the window batch {bn} (the mask block "
+            "indexing tiles per-image window groups)"
+        )
     wins = wins_override or _pick_wins(bn, n_windows, num_heads, n)
     grid = (bn // wins,)
     dtype = x_windows.dtype

@@ -111,7 +111,9 @@ def translate_torch_state(
     unmatched = []
 
     def put(path: str, kind: str, v, collection: str = "params"):
-        if path == "__drop__":
+        if path.endswith("__drop__"):
+            # drop markers may arrive prefixed (e.g. encoder/inception0/
+            # __drop__ for num_batches_tracked buffers)
             return
         arr = _convert(kind, np.asarray(v))
         (params if collection == "params" else stats)[path] = arr

@@ -279,7 +279,7 @@ def test_compactness_start_iter_gates_dataflow():
     # opens at the gate. Check encoder grads from cluster losses instead:
     def encoder_grad_from_cluster(step):
         def f(p):
-            loss, (lp, lc, ls, _) = loss_fn(p, extras, clip, jnp.asarray(step))
+            loss, (lp, lc, ls, _, _) = loss_fn(p, extras, clip, jnp.asarray(step))
             return lc + ls
         g = jax.grad(f)(params)
         return sum(

@@ -95,6 +95,12 @@ def main():
     ap.add_argument("--max-steps", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cluster-start-iter", type=int, default=0)
+    ap.add_argument(
+        "--dump-every-iters", type=int, default=0,
+        help="dump target+recon JPEGs every N steps to "
+        "<output-dir>/video_show{,_origin} (reference: every 10, "
+        "main_predict.py:265-267); 0 disables",
+    )
     ap.add_argument("--no-cluster", action="store_true")
     ap.add_argument("--backbone", default="swin",
                     choices=["swin", "unet3d", "convae", "convae_predict"])
@@ -135,6 +141,7 @@ def main():
         ),
         output_dir=args.output_dir,
         seed=args.seed,
+        dump_every_iters=args.dump_every_iters,
     )
     if args.epochs:
         cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, epochs=args.epochs))

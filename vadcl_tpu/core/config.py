@@ -63,6 +63,11 @@ class ModelConfig:
     remat: bool = False  # jax.checkpoint per Swin block (reference use_checkpoint)
     fused_attention: bool = False  # Pallas fused window attention (inference)
     fused_cluster: bool = False  # Pallas fused cluster assignment
+    # which fused attention kernel: "base" (per-head dots, trainable via its
+    # custom VJP) or "packed" (head-packed block-diagonal dots — fewer, fatter
+    # MXU ops at ~2.8x padded FLOPs; wins on a full-rate chip, INFERENCE-ONLY:
+    # it has no VJP).  bench.py auto-picks per same-run chip calibration.
+    attn_kernel: str = "base"
     # memory-augmented alternates (reference model/Memory.py:63, conv_mae/*)
     memory_size: int = 10
     memory_dim: int = 512
@@ -179,6 +184,10 @@ class Config:
     output_dir: str = "log_dir"
     save_every_epochs: int = 1
     save_every_iters: int = 0  # reference also saved every 10 iters (main_predict.py:339)
+    # periodic input+recon JPEG dump, the reference's routine "is it learning"
+    # visual check (every 10 iters, main_predict.py:265-267 -> misc/utils.py:21-48);
+    # 0 disables.  Dumps land in <output_dir>/video_show{,_origin}/.
+    dump_every_iters: int = 0
     bf16: bool = True  # bf16 compute / fp32 params+reductions
 
     def replace(self, **kw: Any) -> "Config":

@@ -134,6 +134,31 @@ def train(
             state_box["spike_dumped"] = True
             logger.warning(f"loss jumped {prev:.3f} -> {loss:.3f}; batch dumped")
         state_box["prev_loss"] = loss
+        # periodic input/recon visual dump (main_predict.py:265-267: every 10
+        # iters the reference saves the target frames and the reconstruction
+        # as JPEG sequences — its routine visual-inspection hook, SURVEY §4.2)
+        if cfg.dump_every_iters and step_h % cfg.dump_every_iters == 0:
+            from vadcl_tpu.train.step import split_predict_batch
+            from vadcl_tpu.viz.dumps import save_clip_frames
+
+            predict = (
+                cfg.model.predict or cfg.model.backbone == "convae_predict"
+            )
+            batch_f = np.asarray(batch_h)
+            if batch_f.dtype == np.uint8:
+                batch_f = batch_f.astype(np.float32) / 255.0
+            _, target = split_predict_batch(
+                batch_f, cfg.data.frame_num, predict,
+                overlap_quirk=cfg.model.backbone == "swin",
+            )
+            save_clip_frames(
+                np.asarray(target),
+                os.path.join(cfg.output_dir, "video_show_origin"),
+            )
+            save_clip_frames(
+                np.asarray(m_host.recon, np.float32),
+                os.path.join(cfg.output_dir, "video_show"),
+            )
         loss_log["loss"].append(loss)
         loss_log["loss_pixel"].append(float(m_host.loss_pixel))
         loss_log["cluster_loss"].append(float(m_host.cluster_loss))

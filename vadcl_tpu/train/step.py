@@ -54,6 +54,10 @@ class StepMetrics(NamedTuple):
     space_loss: jax.Array
     lr: jax.Array
     grad_finite: jax.Array  # non-finite-loss guard (main_predict.py:304-306)
+    # reconstruction of this step's batch, carried only when the trainer's
+    # periodic visual dump is enabled (Config.dump_every_iters > 0; the
+    # reference dumps input+recon JPEGs every 10 iters, main_predict.py:265-267)
+    recon: Optional[jax.Array] = None
 
 
 PREDICT_INPUT_FRAMES = 4  # the reference's literal ``video[:, :, 0:4]``
@@ -89,7 +93,7 @@ def split_predict_batch(
     return clip, clip
 
 
-def make_loss_fn(model: VADModel, cfg: Config):
+def make_loss_fn(model: VADModel, cfg: Config, return_recon: bool = False):
     sched = cfg.schedule
     predict = cfg.model.predict or cfg.model.backbone == "convae_predict"
     overlap_quirk = cfg.model.backbone == "swin"
@@ -145,7 +149,8 @@ def make_loss_fn(model: VADModel, cfg: Config):
             + sched.cluster_weight * cluster_loss
             + sched.space_weight * space_loss
         )
-        return loss, (loss_pixel, cluster_loss, space_loss, new_extras)
+        recon = out.recon if return_recon else None
+        return loss, (loss_pixel, cluster_loss, space_loss, new_extras, recon)
 
     return loss_fn
 
@@ -209,7 +214,9 @@ def make_train_step(
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, StepMetrics]]:
     """Build the jitted train step.  With a mesh, the clip batch is sharded
     over 'data' and everything else replicated; XLA emits the grad all-reduce."""
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = make_loss_fn(
+        model, cfg, return_recon=cfg.dump_every_iters > 0
+    )
     lr_sched = cosine_epoch_lr(
         cfg.optim.lr,
         cfg.optim.min_lr,
@@ -219,7 +226,7 @@ def make_train_step(
     )
 
     def step_fn(state: TrainState, clip: jax.Array):
-        (loss, (lp, lc, ls, new_extras)), grads = jax.value_and_grad(
+        (loss, (lp, lc, ls, new_extras, recon)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.extras, clip, state.step)
         finite = jnp.isfinite(loss)
@@ -250,6 +257,7 @@ def make_train_step(
             space_loss=ls,
             lr=lr_sched(state.step),
             grad_finite=finite,
+            recon=recon,
         )
         return new_state, metrics
 

@@ -82,9 +82,22 @@ def _forward_pallas(
     tokens: jax.Array, centers: jax.Array, alpha: float, interpret: bool
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     n, c = tokens.shape
+    # Mosaic requires the block's second-to-last dim to be a multiple of 8 or
+    # the whole array dim.  Prefer the largest 8-aligned divisor of n; when
+    # none exists (e.g. n = 196 at the tiny test geometry) fall back to one
+    # whole-array block — (n, c) == array dims is always a legal block — and
+    # for ill-shaped LARGE token counts compute in plain XLA instead of
+    # risking VMEM (the custom VJP already owns that math).
     tile = 512
-    while n % tile != 0:
+    while tile >= 8 and n % tile != 0:
         tile //= 2
+    if tile < 8:
+        if not interpret and n * c * 4 > 4 * 1024 * 1024:
+            d = cdist(tokens.astype(jnp.float32), centers.astype(jnp.float32))
+            labels = jnp.argmin(d, axis=1).astype(jnp.int32)
+            recon, loss_sq = _forward_xla(tokens, centers, alpha)
+            return recon, labels, loss_sq
+        tile = n
     grid = (n // tile,)
     recon, labels, loss = pl.pallas_call(
         functools.partial(_cluster_kernel, alpha=alpha),

@@ -165,7 +165,7 @@ def get_flops() -> dict:
     }
 
 
-def _flagship_config():
+def _flagship_config(attn_kernel: str = "base"):
     from vadcl_tpu.core.config import preset
 
     fused = _fused()
@@ -174,20 +174,86 @@ def _flagship_config():
     cfg = preset("shanghaitech")
     cfg = cfg.replace(
         model=dataclasses.replace(
-            cfg.model, predict=True, fused_attention=fused, fused_cluster=fused
+            cfg.model, predict=True, fused_attention=fused, fused_cluster=fused,
+            attn_kernel=attn_kernel if fused else "base",
         )
     )
     return cfg
 
 
-def measure_inference():
+def pick_attn_kernel() -> str:
+    """Measure both fused attention kernels at the stage-0 geometry on THIS
+    chip and pick the faster for the inference bench (the packed variant
+    trades ~2.8x padded FLOPs for ~6x fewer/fatter MXU ops — which side wins
+    depends on the chip's delivered matmul rate, observed to swing 53-117
+    TFLOP/s across sessions).  The train bench always uses "base" (packed has
+    no VJP)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from vadcl_tpu.ops.pallas_attn import (
+        fused_window_attention,
+        fused_window_attention_packed,
+    )
+
+    if jax.default_backend() == "cpu":
+        return "base"
+    rng = np.random.RandomState(5)
+    C, nH, N, n_windows, B = 96, 6, 98, 64, 32
+    x = jnp.asarray(rng.rand(B * n_windows, N, C), jnp.bfloat16)
+    qkv_w = jnp.asarray(rng.randn(C, 3 * C) * 0.02, jnp.float32)
+    qkv_b = jnp.zeros((3 * C,), jnp.float32)
+    proj_w = jnp.asarray(rng.randn(C, C) * 0.02, jnp.float32)
+    proj_b = jnp.zeros((C,), jnp.float32)
+    bias = jnp.asarray(rng.randn(nH, N, N) * 0.02, jnp.float32)
+    sc = (C // nH) ** -0.5
+
+    def timed(fn, iters=8):
+        jitted = jax.jit(
+            lambda a0: lax.fori_loop(
+                0, iters,
+                lambda i, c: (
+                    c[0],
+                    jnp.sum(
+                        fn(c[0] + c[1] * jnp.asarray(1e-18, c[0].dtype))
+                    ).astype(c[0].dtype),
+                ),
+                (a0, jnp.zeros((), a0.dtype)),
+            )[1]
+        )
+        out = jitted(x)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            out = jitted(x)
+            float(np.asarray(out.astype(jnp.float32)))
+            best = min(best, (time.time() - t0) / iters)
+        return best
+
+    t_base = timed(
+        lambda a: fused_window_attention(
+            a, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH, n_windows, sc
+        )
+    )
+    t_packed = timed(
+        lambda a: fused_window_attention_packed(
+            a, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH, n_windows, sc
+        )
+    )
+    # require a clear (>5%) win before switching off the trainable default
+    return "packed" if t_packed < 0.95 * t_base else "base"
+
+
+def measure_inference(attn_kernel: str = "base"):
     """Returns measured clips/sec on the default backend."""
     import jax
     import jax.numpy as jnp
 
     from vadcl_tpu.models.backbone import VADModel
 
-    cfg = _flagship_config()
+    cfg = _flagship_config(attn_kernel)
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     model = VADModel(config=cfg.model, dtype=dtype)
     rng = np.random.RandomState(0)
@@ -229,6 +295,56 @@ def measure_inference():
             rate = max(rate, batch / dt)
         best = max(best, rate)
     return best
+
+
+def measure_eval_protocol():
+    """Windows/sec through the REAL eval hot path: the device-resident
+    stride-1 video scorer that ``tools/evaluate.py`` runs
+    (``tool/predict_evaluae.py:191-203`` semantics — whole video ships to the
+    device once as uint8, windows gather on-device, dispatches pipeline).
+    Sweeps the window batch; returns (best_windows_per_sec, best_batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vadcl_tpu.eval.predict import (
+        eval_input_frames,
+        make_video_scorer,
+        sliding_windows,
+    )
+    from vadcl_tpu.models.backbone import VADModel
+
+    cfg = _flagship_config()
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    model = VADModel(config=cfg.model, dtype=dtype)
+    rng = np.random.RandomState(3)
+    frames = (rng.rand(256 + FRAMES, H, W, 3) * 255).astype(np.uint8)
+    starts = sliding_windows(frames.shape[0], FRAMES, "stride1")
+
+    clips0 = jnp.zeros((1, FRAMES, H, W, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), clips0)
+
+    def apply_fn(clips):
+        return model.apply(variables, clips).recon
+
+    best, best_batch = 0.0, 0
+    for bw in (32, 64, 128):
+        scorer = make_video_scorer(
+            apply_fn,
+            frame_num=FRAMES,
+            predict=True,
+            batch_windows=bw,
+            input_frames=eval_input_frames("swin", True, FRAMES),
+        )
+        out = scorer(frames, starts)  # compile + warm
+        rate = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            out = scorer(frames, starts)
+            dt = time.time() - t0
+            rate = max(rate, len(starts) / dt)
+        if rate > best:
+            best, best_batch = rate, bw
+    return best, best_batch
 
 
 def measure_train():
@@ -329,7 +445,12 @@ def measure_chip_calibration():
 def main():
     from vadcl_tpu.utils.flops import device_peak_tflops, mfu_pct
 
-    infer_rate = measure_inference()
+    try:
+        attn_kernel = pick_attn_kernel()
+    except Exception as e:
+        print(f"attn-kernel pick failed: {e!r}", file=sys.stderr)
+        attn_kernel = "base"
+    infer_rate = measure_inference(attn_kernel)
     try:
         train_rate = measure_train()
     except Exception as e:  # never lose the headline number to a train issue
@@ -352,6 +473,11 @@ def main():
     )
     ref_clips = _REF_EFFECTIVE_TFLOPS * 1e12 / infer_flops
     try:
+        eval_rate, eval_bw = measure_eval_protocol()
+    except Exception as e:
+        print(f"eval-protocol bench failed: {e!r}", file=sys.stderr)
+        eval_rate, eval_bw = float("nan"), 0
+    try:
         calib = measure_chip_calibration()
     except Exception as e:
         print(f"chip calibration failed: {e!r}", file=sys.stderr)
@@ -372,6 +498,11 @@ def main():
                 "train_clips_per_sec": r(train_rate),
                 "train_step_gflops_per_clip": r(train_flops / 1e9),
                 "train_mfu_pct": r(train_mfu) if train_mfu else None,
+                # the tools/evaluate.py hot path: device-resident stride-1
+                # video scorer (windows include h2d of the video + readback)
+                "eval_windows_per_sec": r(eval_rate),
+                "eval_batch_windows": eval_bw or None,
+                "attn_kernel": attn_kernel,  # per-session A/B pick (base|packed)
                 "peak_tflops": peak,
                 "chip_matmul_tflops": r(calib.get("chip_matmul_tflops")),
                 "chip_copy_gbps": r(calib.get("chip_copy_gbps")),

@@ -87,6 +87,7 @@ class VADModel(nn.Module):
             drop_path_rate=cfg.drop_path_rate,
             remat=cfg.remat,
             fused_attention=cfg.fused_attention,
+            attn_kernel=cfg.attn_kernel,
             dtype=self.dtype,
             name="encoder",
         )(clip.astype(self.dtype), deterministic)
@@ -162,6 +163,7 @@ class VADModel(nn.Module):
             out_channels=cfg.in_channels,
             remat=cfg.remat,
             fused_attention=cfg.fused_attention,
+            attn_kernel=cfg.attn_kernel,
             dtype=self.dtype,
             name="decoder",
         )(x, deterministic)

@@ -142,6 +142,7 @@ class SwinDecoder3D(nn.Module):
     out_channels: int = 3
     remat: bool = False
     fused_attention: bool = False
+    attn_kernel: str = "base"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -188,6 +189,7 @@ class SwinDecoder3D(nn.Module):
                 ),
                 remat=self.remat,
                 fused=self.fused_attention,
+                attn_kernel=self.attn_kernel,
                 dtype=self.dtype,
                 name=f"stage{i}",
             )(x, deterministic)

@@ -55,6 +55,7 @@ class SwinEncoder3D(nn.Module):
     drop_path_rate: float = 0.0
     remat: bool = False
     fused_attention: bool = False
+    attn_kernel: str = "base"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,6 +99,7 @@ class SwinEncoder3D(nn.Module):
                 ),
                 remat=self.remat,
                 fused=self.fused_attention,
+                attn_kernel=self.attn_kernel,
                 dtype=self.dtype,
                 name=f"stage{i}",
             )(x, deterministic)

@@ -54,6 +54,7 @@ class WindowAttention3D(nn.Module):
     proj_drop: float = 0.0
     fused: bool = False  # fused Pallas kernel (inference path; no VJP yet)
     n_windows: int = 1  # windows per image, needed by the fused kernel
+    attn_kernel: str = "base"  # "base" (trainable) | "packed" (inference-only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,18 +92,39 @@ class WindowAttention3D(nn.Module):
             scale = self.qk_scale or head_dim**-0.5
             bias = table[np.asarray(rel_index[:N, :N]).reshape(-1)]
             bias = bias.reshape(N, N, -1).transpose(2, 0, 1)  # (nH, N, N)
-            out = fused_window_attention_trainable(
-                x_windows.astype(self.dtype),
-                qkv_w,
-                qkv_b,
-                proj_w,
-                proj_b,
-                bias,
-                jnp.asarray(mask) if mask is not None else None,
-                self.num_heads,
-                self.n_windows,
-                scale,
-            )
+            if self.attn_kernel == "packed":
+                # head-packed variant (ops/pallas_attn.py): inference-only
+                # (no VJP); bench.py selects it when the chip's delivered
+                # matmul rate makes its padded-FLOP trade win
+                from vadcl_tpu.ops.pallas_attn import (
+                    fused_window_attention_packed,
+                )
+
+                out = fused_window_attention_packed(
+                    x_windows.astype(self.dtype),
+                    qkv_w,
+                    qkv_b,
+                    proj_w,
+                    proj_b,
+                    bias,
+                    jnp.asarray(mask) if mask is not None else None,
+                    self.num_heads,
+                    self.n_windows,
+                    scale,
+                )
+            else:
+                out = fused_window_attention_trainable(
+                    x_windows.astype(self.dtype),
+                    qkv_w,
+                    qkv_b,
+                    proj_w,
+                    proj_b,
+                    bias,
+                    jnp.asarray(mask) if mask is not None else None,
+                    self.num_heads,
+                    self.n_windows,
+                    scale,
+                )
         else:
             out = window_attention(
                 x_windows.astype(self.dtype),
@@ -180,6 +202,7 @@ class SwinBlock3D(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fused: bool = False
+    attn_kernel: str = "base"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -224,6 +247,7 @@ class SwinBlock3D(nn.Module):
             proj_drop=self.drop,
             fused=self.fused,
             n_windows=n_windows,
+            attn_kernel=self.attn_kernel,
             dtype=self.dtype,
             name="attn",
         )(wins, mask=attn_mask, deterministic=deterministic)
@@ -284,6 +308,7 @@ class SwinStage(nn.Module):
     drop_path: Sequence[float] = (0.0,)
     remat: bool = False
     fused: bool = False
+    attn_kernel: str = "base"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -308,6 +333,7 @@ class SwinStage(nn.Module):
                 attn_drop=self.attn_drop,
                 drop_path=dp[i],
                 fused=self.fused,
+                attn_kernel=self.attn_kernel,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, deterministic)

@@ -112,4 +112,57 @@ batches = list(loader.epoch(3))
 assert all(b.shape == (4, 2, 4, 4, 3) for b in batches), [b.shape for b in batches]
 assert len(batches) == loader.steps_per_epoch()
 
+# --- distributed eval: videos partition across processes, per-frame scores
+# gather, and the global per-scene AUC equals the single-process evaluator
+# run over ALL videos (the data is deterministic, so each process can also
+# compute the full single-process reference locally).
+from vadcl_tpu.eval.predict import (  # noqa: E402
+    evaluate_videos,
+    evaluate_videos_distributed,
+    make_window_scorer,
+)
+from vadcl_tpu.parallel.sharding import cross_host_gather_ragged  # noqa: E402
+
+# ragged gather primitive: different lengths per process
+ragged = np.arange(3 + 2 * pid, dtype=np.float32) + 100.0 * pid
+g = cross_host_gather_ragged(ragged)
+want_r = np.concatenate(
+    [np.arange(3 + 2 * p, dtype=np.float32) + 100.0 * p for p in range(nprocs)]
+)
+np.testing.assert_array_equal(g, want_r)
+
+_rng = np.random.RandomState(11)
+_videos = []
+for i, scene in enumerate(["01", "01", "02", "02", "02"]):
+    T = 12 + 3 * i  # ragged lengths
+    frames = _rng.rand(T, 16, 16, 3).astype(np.float32)
+    labels = (_rng.rand(T) > 0.5).astype(np.int64)
+    labels[:2] = 0
+    labels[-2:] = 1  # both classes always present among scored frames
+    _videos.append((frames, labels, scene))
+
+FN = 4
+_scorer = make_window_scorer(
+    lambda clips: clips[:, -1:] * 0.5,  # deterministic stand-in "model"
+    frame_num=FN, predict=True, batch_windows=2,
+)
+ref_auc, ref_scenes, _ = evaluate_videos(
+    _scorer, _videos, frame_num=FN, predict=True, protocol="stride1"
+)
+dist_auc, dist_scenes, local_videos = evaluate_videos_distributed(
+    _scorer,
+    num_videos=len(_videos),
+    get_video=lambda i: _videos[i],
+    all_scenes=["01", "02"],
+    frame_num=FN,
+    predict=True,
+    protocol="stride1",
+)
+assert set(dist_scenes) == set(ref_scenes)
+for s_ in ref_scenes:
+    np.testing.assert_allclose(dist_scenes[s_], ref_scenes[s_], atol=1e-12, err_msg=s_)
+np.testing.assert_allclose(dist_auc, ref_auc, atol=1e-12)
+# each process scored only its slice
+assert len(local_videos) == len(range(pid, len(_videos), nprocs))
+
 print(f"proc {pid}: multihost checks passed")

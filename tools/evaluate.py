@@ -61,19 +61,20 @@ def main():
 
     import dataclasses
 
-    # multi-chip eval: shard the window batch over all devices (the TPU-native
-    # analogue of the reference DDP-wrapping its eval tools,
-    # tool/contrast_evaluae.py:148-153).  Mesh eval is single-process only:
-    # the scorers commit whole videos to local devices and jit over the global
-    # mesh, which cannot reshard onto a non-fully-addressable mesh — in a
-    # multi-process launch each process falls back to scoring its own videos
-    # on its first local device (partition the video list across hosts
-    # externally; per-scene AUC is additive over videos).
+    # multi-chip eval (the TPU-native analogue of the reference DDP-wrapping
+    # its eval tools, tool/contrast_evaluae.py:148-153):
+    #  * single process, many local devices -> the window batch shards over a
+    #    'data' mesh (the scorers commit whole videos to local devices, which
+    #    cannot reshard onto a non-fully-addressable mesh — hence no global
+    #    mesh across processes);
+    #  * multi-process launch -> videos partition process_index::P, each
+    #    process scores on its own devices, and per-frame scores gather
+    #    across processes for one global per-scene AUC
+    #    (evaluate_videos_distributed).
     maybe_initialize_distributed()
+    multiproc = jax.process_count() > 1
     mesh = (
-        make_mesh()
-        if len(jax.devices()) > 1 and jax.process_count() == 1
-        else None
+        make_mesh() if len(jax.devices()) > 1 and not multiproc else None
     )
 
     cfg = preset(args.preset)
@@ -151,24 +152,45 @@ def main():
         istest=True,
     )
     proto = "stride1" if args.protocol == "stride1_first_frame" else args.protocol
-    auc, per_scene, per_video = evaluate_videos(
-        scorer,
-        ds.iter_test_videos(),
-        frame_num=args.frame_num,
-        predict=predict,
-        protocol=proto,
-    )
-    for scene, a in sorted(per_scene.items()):
-        print(f"scene {scene}: AUC = {a:.4f}")
-    print(f"mean scene AUC = {auc:.4f}")
+    if multiproc:
+        from vadcl_tpu.eval.predict import evaluate_videos_distributed
+
+        all_scenes = sorted(
+            {os.path.basename(v).split("_")[0] for v in ds.videos}
+        )
+        auc, per_scene, per_video = evaluate_videos_distributed(
+            scorer,
+            num_videos=len(ds.videos),
+            get_video=ds.get_test_video,
+            all_scenes=all_scenes,
+            frame_num=args.frame_num,
+            predict=predict,
+            protocol=proto,
+        )
+    else:
+        auc, per_scene, per_video = evaluate_videos(
+            scorer,
+            ds.iter_test_videos(),
+            frame_num=args.frame_num,
+            predict=predict,
+            protocol=proto,
+        )
+    if jax.process_index() == 0:
+        for scene, a in sorted(per_scene.items()):
+            print(f"scene {scene}: AUC = {a:.4f}")
+        print(f"mean scene AUC = {auc:.4f}")
+    out = args.out
+    if multiproc:
+        base, ext = os.path.splitext(args.out)
+        out = f"{base}.proc{jax.process_index()}{ext}"  # local videos only
     np.savez(
-        args.out,
+        out,
         **{
             f"video{i}_{v.scene}": np.stack([v.scores, v.labels.astype(np.float64)])
             for i, v in enumerate(per_video)
         },
     )
-    print("per-video score curves ->", args.out)
+    print("per-video score curves ->", out)
 
 
 if __name__ == "__main__":

@@ -288,6 +288,74 @@ def score_video(
     return frame_mse, frame_labels
 
 
+def evaluate_videos_distributed(
+    scorer: Callable[[np.ndarray], np.ndarray],
+    num_videos: int,
+    get_video: Callable[[int], Tuple[np.ndarray, np.ndarray, str]],
+    all_scenes: Sequence[str],
+    frame_num: int,
+    predict: bool,
+    protocol: str = "stride1",
+) -> Tuple[float, Dict[str, float], List[VideoScores]]:
+    """Multi-process eval: each process scores videos ``process_index::P`` on
+    its own local device, then per-frame anomaly scores + labels + scene ids
+    gather across processes (`cross_host_gather_ragged`) and every process
+    computes the identical per-scene AUC (the TPU-native replacement for the
+    reference DDP-wrapping its eval tools + ``mmaction/apis/test.py:99-159``
+    result collection).
+
+    ``all_scenes`` must be the same ordered scene vocabulary on every process
+    (derive it from the full dataset listing on the shared filesystem).
+    Returned ``per_video`` holds only THIS process's videos; the AUC is
+    global.  Single-process: identical to ``evaluate_videos``."""
+    import jax
+
+    from vadcl_tpu.parallel.sharding import cross_host_gather_ragged
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    scene_to_idx = {s: i for i, s in enumerate(all_scenes)}
+    per_video: List[VideoScores] = []
+    scores_cat: List[np.ndarray] = []
+    labels_cat: List[np.ndarray] = []
+    scene_cat: List[np.ndarray] = []
+    for i in range(pid, num_videos, nproc):
+        frames, labels, scene = get_video(i)
+        frame_mse, frame_labels = score_video(
+            scorer, frames, labels, frame_num, predict, protocol
+        )
+        if frame_mse.size == 0:
+            continue
+        scores = anomaly_score(psnr(frame_mse))
+        per_video.append(
+            VideoScores(scores=scores, labels=frame_labels, scene=scene)
+        )
+        scores_cat.append(np.asarray(scores, np.float64))
+        labels_cat.append(np.asarray(frame_labels, np.int64))
+        scene_cat.append(
+            np.full(len(scores), scene_to_idx[scene], np.int64)
+        )
+
+    def cat(parts, dtype):
+        return (
+            np.concatenate(parts) if parts else np.zeros((0,), dtype)
+        )
+
+    g_scores = cross_host_gather_ragged(cat(scores_cat, np.float64))
+    g_labels = cross_host_gather_ragged(cat(labels_cat, np.int64))
+    g_scene = cross_host_gather_ragged(cat(scene_cat, np.int64))
+
+    scene_scores = {
+        s: g_scores[g_scene == i]
+        for i, s in enumerate(all_scenes)
+        if np.any(g_scene == i)
+    }
+    scene_labels = {
+        s: g_labels[g_scene == scene_to_idx[s]] for s in scene_scores
+    }
+    aucs = per_scene_auc(scene_scores, scene_labels)
+    return mean_scene_auc(aucs), aucs, per_video
+
+
 def evaluate_videos(
     scorer: Callable[[np.ndarray], np.ndarray],
     videos: Iterable[Tuple[np.ndarray, np.ndarray, str]],

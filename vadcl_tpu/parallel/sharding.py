@@ -35,6 +35,31 @@ def local_batch_to_global(
     )
 
 
+def cross_host_gather_ragged(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-host ndarrays of DIFFERING leading length across all
+    processes (deterministic process order).  Single-host passthrough.
+
+    ``process_allgather`` requires equal shapes, so lengths gather first and
+    every host pads to the global max before the data gather."""
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(arr)
+    lens = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([arr.shape[0]], np.int64)
+        )
+    ).reshape(-1)
+    m = int(lens.max()) if lens.size else 0
+    padded = np.zeros((m,) + arr.shape[1:], arr.dtype)
+    padded[: arr.shape[0]] = arr
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return np.concatenate(
+        [gathered[p, : int(lens[p])] for p in range(gathered.shape[0])], axis=0
+    )
+
+
 def cross_host_concat(values: List[Any]) -> List[Any]:
     """Gather per-video eval results across hosts (order not guaranteed);
     single-host passthrough."""

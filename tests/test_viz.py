@@ -201,3 +201,42 @@ def test_train_loop_periodic_dump(tmp_path):
         img = np.asarray(Image.open(p))
         assert img.shape == (56, 56, 3)
     assert not os.path.exists(os.path.join(show, "0", "img1.jpg"))
+
+
+def test_heatmaps_and_tsne_cli(tmp_path):
+    """Drive the heatmaps/tsne visualize subcommands end-to-end on a tiny
+    synthetic frame-folder video (Error_thermal_visualization.py and
+    聚类可视化.py capability paths)."""
+    from PIL import Image
+
+    from tools.visualize import cmd_heatmaps, cmd_tsne
+
+    vdir = tmp_path / "01_0001"
+    os.makedirs(vdir)
+    yy, xx = np.meshgrid(np.linspace(0, 1, 64), np.linspace(0, 1, 64), indexing="ij")
+    for t in range(9):
+        img = np.stack([0.2 + 0.6 * xx, 0.3 + 0.5 * yy, np.full_like(xx, 0.1 + 0.05 * t)], -1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(vdir / f"{t:03d}.jpg")
+
+    heat_out = str(tmp_path / "heat")
+    cmd_heatmaps(
+        SimpleNamespace(
+            preset="tiny", ckpt="", video=str(vdir), out=heat_out,
+            predict=False, frame_num=4,
+        )
+    )
+    heats = sorted(os.listdir(heat_out))
+    assert heats == [f"heat_{i:04d}.png" for i in range(8)]
+    hm = np.asarray(Image.open(os.path.join(heat_out, heats[0])))
+    assert hm.shape == (56, 56, 3)
+
+    emb_out = str(tmp_path / "emb.npz")
+    cmd_tsne(
+        SimpleNamespace(
+            preset="tiny", ckpt="", video=str(vdir), out=emb_out,
+            predict=False, frame_num=4,
+        )
+    )
+    with np.load(emb_out) as z:
+        assert z["embedding"].shape[1] == 2  # t-SNE ran
+        assert z["labels"].shape[0] == z["embedding"].shape[0]

@@ -1,0 +1,248 @@
+"""Folded Pallas window attention (partition/reverse in the BlockSpecs) vs
+the XLA reference path (interpret mode on CPU; the compiled TPU path is
+exercised by bench/verify — measured bit-identical to the partitioned fused
+kernel on-chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vadcl_tpu.ops.pallas_attn_fold import (
+    folded_attention_applicable,
+    folded_window_attention_trainable,
+    fused_window_attention_folded,
+)
+from vadcl_tpu.ops.window import (
+    compute_attn_mask,
+    relative_position_index,
+    window_attention,
+    window_partition,
+    window_reverse,
+)
+
+
+def _bias_from_table(tbl, idx, N, nH):
+    b = np.asarray(tbl)[np.asarray(idx[:N, :N]).reshape(-1)]
+    return jnp.asarray(b.reshape(N, N, nH).transpose(2, 0, 1))
+
+
+def _setup(ws, dims, C, nH, shifted, seed=0):
+    D, H, W = dims
+    N = ws[0] * ws[1] * ws[2]
+    B = 2
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, D, H, W, C) * 0.5, jnp.float32)
+    qkv_w = jnp.asarray(rng.randn(C, 3 * C) * 0.05, jnp.float32)
+    qkv_b = jnp.asarray(rng.randn(3 * C) * 0.05, jnp.float32)
+    proj_w = jnp.asarray(rng.randn(C, C) * 0.05, jnp.float32)
+    proj_b = jnp.asarray(rng.randn(C) * 0.05, jnp.float32)
+    tlen = (2 * ws[0] - 1) * (2 * ws[1] - 1) * (2 * ws[2] - 1)
+    tbl = jnp.asarray(rng.randn(tlen, nH) * 0.02, jnp.float32)
+    idx = relative_position_index(ws)
+    shift = tuple(w // 2 for w in ws)
+    mask = compute_attn_mask(D, H, W, ws, shift) if shifted else None
+    return x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask
+
+
+@pytest.mark.parametrize(
+    "geom",
+    [
+        # (window, dims, C, nH) — multi-window rows exercise the in-kernel
+        # group walk; the small geometry exercises gw == wins
+        ((2, 7, 7), (2, 14, 28), 48, 4),
+        ((1, 7, 7), (1, 14, 14), 24, 2),  # N=49, non-sublane-aligned
+    ],
+)
+@pytest.mark.parametrize("shifted", [False, True])
+def test_folded_matches_xla(geom, shifted):
+    ws, dims, C, nH = geom
+    D, H, W = dims
+    x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask = _setup(
+        ws, dims, C, nH, shifted
+    )
+    B = x.shape[0]
+    assert folded_attention_applicable(dims, ws, nH)
+
+    xw = window_partition(x, ws)
+    want = window_reverse(
+        window_attention(xw, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH,
+                         mask=mask),
+        ws, B, D, H, W,
+    )
+    got = fused_window_attention_folded(
+        x, qkv_w, qkv_b, proj_w, proj_b,
+        _bias_from_table(tbl, idx, N, nH),
+        jnp.asarray(mask) if mask is not None else None,
+        num_heads=nH, window=ws, scale=(C // nH) ** -0.5, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_folded_no_qkv_bias():
+    ws, dims, C, nH = (2, 7, 7), (2, 14, 14), 24, 4
+    x, qkv_w, _, proj_w, proj_b, tbl, idx, N, _ = _setup(ws, dims, C, nH, False)
+    D, H, W = dims
+    xw = window_partition(x, ws)
+    want = window_reverse(
+        window_attention(xw, qkv_w, None, proj_w, proj_b, tbl, idx, nH,
+                         mask=None),
+        ws, 2, D, H, W,
+    )
+    got = fused_window_attention_folded(
+        x, qkv_w, None, proj_w, proj_b, _bias_from_table(tbl, idx, N, nH),
+        None, num_heads=nH, window=ws, scale=(C // nH) ** -0.5, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_folded_trainable_grads_match_xla(shifted):
+    ws, dims, C, nH = (2, 7, 7), (2, 14, 28), 48, 4
+    D, H, W = dims
+    x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask = _setup(
+        ws, dims, C, nH, shifted, seed=3
+    )
+    B = x.shape[0]
+    probe = jnp.asarray(np.random.RandomState(9).randn(B, D, H, W, C),
+                        jnp.float32)
+    maskj = jnp.asarray(mask) if mask is not None else None
+
+    def loss_ref(x, qkv_w, qkv_b, proj_w, proj_b, tbl):
+        xw = window_partition(x, ws)
+        o = window_attention(xw, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH,
+                             mask=mask)
+        return jnp.sum(window_reverse(o, ws, B, D, H, W) * probe)
+
+    idx_flat = np.asarray(idx[:N, :N]).reshape(-1)
+
+    def loss_fold(x, qkv_w, qkv_b, proj_w, proj_b, tbl):
+        bias = jnp.transpose(tbl[idx_flat].reshape(N, N, nH), (2, 0, 1))
+        o = folded_window_attention_trainable(
+            x, qkv_w, qkv_b, proj_w, proj_b, bias, maskj,
+            nH, ws, (C // nH) ** -0.5, True,
+        )
+        return jnp.sum(o * probe)
+
+    args = (x, qkv_w, qkv_b, proj_w, proj_b, tbl)
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    gf = jax.grad(loss_fold, argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(
+        ["dx", "dqkv_w", "dqkv_b", "dproj_w", "dproj_b", "dtable"], gr, gf
+    ):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert d / scale < 5e-5, (name, d, scale)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_folded_block_front_matches_xla(shifted):
+    """x + attn(LN(x)) in one kernel pass == the XLA composition."""
+    from vadcl_tpu.ops.pallas_attn_fold import folded_block_attention_trainable
+
+    ws, dims, C, nH = (2, 7, 7), (2, 14, 28), 48, 4
+    D, H, W = dims
+    x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask = _setup(
+        ws, dims, C, nH, shifted, seed=5
+    )
+    B = x.shape[0]
+    rng = np.random.RandomState(11)
+    ln_s = jnp.asarray(1.0 + rng.randn(C) * 0.1, jnp.float32)
+    ln_b = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+
+    def ln(x):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        return (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+
+    xw = window_partition(ln(x).astype(jnp.float32), ws)
+    want = x + window_reverse(
+        window_attention(xw, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH,
+                         mask=mask),
+        ws, B, D, H, W,
+    )
+    got = folded_block_attention_trainable(
+        x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b,
+        _bias_from_table(tbl, idx, N, nH),
+        jnp.asarray(mask) if mask is not None else None,
+        nH, ws, (C // nH) ** -0.5, True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_folded_block_front_grads_match_xla():
+    from vadcl_tpu.ops.pallas_attn_fold import folded_block_attention_trainable
+
+    ws, dims, C, nH = (2, 7, 7), (2, 14, 14), 24, 4
+    D, H, W = dims
+    x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask = _setup(
+        ws, dims, C, nH, True, seed=7
+    )
+    B = x.shape[0]
+    rng = np.random.RandomState(13)
+    ln_s = jnp.asarray(1.0 + rng.randn(C) * 0.1, jnp.float32)
+    ln_b = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+    probe = jnp.asarray(rng.randn(B, D, H, W, C), jnp.float32)
+    maskj = jnp.asarray(mask) if mask is not None else None
+    idx_flat = np.asarray(idx[:N, :N]).reshape(-1)
+
+    def loss_ref(x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, tbl):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        y = (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+        xw = window_partition(y, ws)
+        o = window_attention(xw, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH,
+                             mask=mask)
+        return jnp.sum((x + window_reverse(o, ws, B, D, H, W)) * probe)
+
+    def loss_fold(x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, tbl):
+        bias = jnp.transpose(tbl[idx_flat].reshape(N, N, nH), (2, 0, 1))
+        o = folded_block_attention_trainable(
+            x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, maskj,
+            nH, ws, (C // nH) ** -0.5, True,
+        )
+        return jnp.sum(o * probe)
+
+    args = (x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, tbl)
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    gf = jax.grad(loss_fold, argnums=tuple(range(8)))(*args)
+    names = ["dx", "dln_s", "dln_b", "dqkv_w", "dqkv_b", "dproj_w",
+             "dproj_b", "dtable"]
+    for name, a, b in zip(names, gr, gf):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert d / scale < 1e-4, (name, d, scale)
+
+
+def test_applicability_gate():
+    # window-divisible dims qualify; ragged dims do not
+    assert folded_attention_applicable((2, 56, 56), (2, 7, 7), 6)
+    assert not folded_attention_applicable((2, 55, 56), (2, 7, 7), 6)
+    assert not folded_attention_applicable((3, 56, 56), (2, 7, 7), 6)
+
+
+def test_swin_block_fold_param_tree_and_fallback():
+    """attn_kernel='fold' declares the identical param tree as 'base' (same
+    checkpoints), and the block falls back to the windowed path when the
+    folded kernel is not applicable."""
+    from vadcl_tpu.models.swin import SwinBlock3D
+
+    x = jnp.zeros((1, 2, 14, 14, 24), jnp.float32)
+    trees = []
+    # fused fold triggers the block-front path (LN folded into the kernel);
+    # its param tree must stay checkpoint-compatible with the base path
+    for kernel, fused in (("base", False), ("fold", False), ("fold", True)):
+        blk = SwinBlock3D(dim=24, num_heads=4, window_size=(2, 7, 7),
+                          fused=fused, attn_kernel=kernel)
+        v = jax.eval_shape(blk.init, jax.random.key(0), x)
+        trees.append(jax.tree_util.tree_structure(v))
+    assert trees[0] == trees[1] == trees[2]

@@ -64,9 +64,12 @@ class ModelConfig:
     fused_attention: bool = False  # Pallas fused window attention (inference)
     fused_cluster: bool = False  # Pallas fused cluster assignment
     # which fused attention kernel: "base" (per-head dots, trainable via its
-    # custom VJP) or "packed" (head-packed block-diagonal dots — fewer, fatter
+    # custom VJP), "packed" (head-packed block-diagonal dots — fewer, fatter
     # MXU ops at ~2.8x padded FLOPs; wins on a full-rate chip, INFERENCE-ONLY:
-    # it has no VJP).  bench.py auto-picks per same-run chip calibration.
+    # it has no VJP), or "fold" (trainable; window partition/reverse folded
+    # into the kernel's BlockSpecs — kills two HBM activation round-trips per
+    # Swin block, measured 1.17-1.19x over "base" at flagship geometry).
+    # bench.py auto-picks per same-run chip calibration.
     attn_kernel: str = "base"
     # memory-augmented alternates (reference model/Memory.py:63, conv_mae/*)
     memory_size: int = 10

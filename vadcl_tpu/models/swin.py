@@ -54,12 +54,17 @@ class WindowAttention3D(nn.Module):
     proj_drop: float = 0.0
     fused: bool = False  # fused Pallas kernel (inference path; no VJP yet)
     n_windows: int = 1  # windows per image, needed by the fused kernel
-    attn_kernel: str = "base"  # "base" (trainable) | "packed" (inference-only)
+    # "base" (trainable) | "packed" (inference-only) | "fold" (trainable;
+    # partition/reverse folded into the kernel's BlockSpecs — SwinBlock3D
+    # passes the un-partitioned 5D tensor via ``runtime_window``)
+    attn_kernel: str = "base"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_windows, mask: Optional[np.ndarray] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 runtime_window: Optional[Tri] = None,
+                 ln: Optional[Tuple[jax.Array, jax.Array]] = None):
         wd, wh, ww = self.window_size
         table = self.param(
             "relative_position_bias_table",
@@ -87,12 +92,54 @@ class WindowAttention3D(nn.Module):
                 "fused attention kernel has no attention-dropout path; "
                 "train with fused=False when attn_drop_rate > 0"
             )
-            N = x_windows.shape[1]
+            if runtime_window is not None:
+                N = runtime_window[0] * runtime_window[1] * runtime_window[2]
+            else:
+                N = x_windows.shape[1]
             head_dim = self.dim // self.num_heads
             scale = self.qk_scale or head_dim**-0.5
             bias = table[np.asarray(rel_index[:N, :N]).reshape(-1)]
             bias = bias.reshape(N, N, -1).transpose(2, 0, 1)  # (nH, N, N)
-            if self.attn_kernel == "packed":
+            if runtime_window is not None:
+                # folded path: x_windows is the un-partitioned (B, Dp, Hp, Wp,
+                # C) tensor; partition/reverse happen inside the kernel's
+                # block fetches (ops/pallas_attn_fold.py).  With ``ln`` the
+                # block's norm1 and residual add fold in too.
+                from vadcl_tpu.ops.pallas_attn_fold import (
+                    folded_block_attention_trainable,
+                    folded_window_attention_trainable,
+                )
+
+                maskj = jnp.asarray(mask) if mask is not None else None
+                if ln is not None:
+                    out = folded_block_attention_trainable(
+                        x_windows.astype(self.dtype),
+                        ln[0],
+                        ln[1],
+                        qkv_w,
+                        qkv_b,
+                        proj_w,
+                        proj_b,
+                        bias,
+                        maskj,
+                        self.num_heads,
+                        runtime_window,
+                        scale,
+                    )
+                else:
+                    out = folded_window_attention_trainable(
+                        x_windows.astype(self.dtype),
+                        qkv_w,
+                        qkv_b,
+                        proj_w,
+                        proj_b,
+                        bias,
+                        maskj,
+                        self.num_heads,
+                        runtime_window,
+                        scale,
+                    )
+            elif self.attn_kernel == "packed":
                 # head-packed variant (ops/pallas_attn.py): inference-only
                 # (no VJP); bench.py selects it when the chip's delivered
                 # matmul rate makes its padded-FLOP trade win
@@ -212,14 +259,38 @@ class SwinBlock3D(nn.Module):
             (D, H, W), self.window_size, self.shift_size
         )
 
-        shortcut = x
-        y = layer_norm(dtype=self.dtype, name="norm1")(x)
-        # pad to window multiples (trailing edges, like F.pad in :222-226)
         pad_d = (-D) % window_size[0]
         pad_h = (-H) % window_size[1]
         pad_w = (-W) % window_size[2]
-        if pad_d or pad_h or pad_w:
-            y = jnp.pad(y, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        # block front half (LN + attn + residual) fused into ONE Pallas pass
+        # when: fold kernel selected+applicable, no window padding (zero-pad
+        # happens after LN in the reference, so LN cannot be folded across
+        # it), and dropout/drop-path are identity
+        fold_front = (
+            self.fused
+            and self.attn_kernel == "fold"
+            and not (pad_d or pad_h or pad_w)
+            and (deterministic or (self.drop == 0.0 and self.drop_path == 0.0))
+        )
+        if fold_front:
+            from vadcl_tpu.ops.pallas_attn_fold import (
+                folded_attention_applicable,
+            )
+
+            fold_front = folded_attention_applicable(
+                (D, H, W), window_size, self.num_heads
+            )
+
+        shortcut = x
+        if fold_front:
+            y = x  # LN lives inside the kernel
+        else:
+            y = layer_norm(dtype=self.dtype, name="norm1")(x)
+            # pad to window multiples (trailing edges, like F.pad in :222-226)
+            if pad_d or pad_h or pad_w:
+                y = jnp.pad(
+                    y, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0))
+                )
         _, Dp, Hp, Wp, _ = y.shape
 
         if any(s > 0 for s in shift_size):
@@ -236,8 +307,16 @@ class SwinBlock3D(nn.Module):
             * (Hp // window_size[1])
             * (Wp // window_size[2])
         )
-        wins = window_partition(y, window_size)
-        wins = WindowAttention3D(
+        use_fold = False
+        if self.fused and self.attn_kernel == "fold":
+            from vadcl_tpu.ops.pallas_attn_fold import (
+                folded_attention_applicable,
+            )
+
+            use_fold = folded_attention_applicable(
+                (Dp, Hp, Wp), window_size, self.num_heads
+            )
+        attn = WindowAttention3D(
             dim=C,
             window_size=self.window_size,  # configured size; index sliced to N
             num_heads=self.num_heads,
@@ -250,17 +329,40 @@ class SwinBlock3D(nn.Module):
             attn_kernel=self.attn_kernel,
             dtype=self.dtype,
             name="attn",
-        )(wins, mask=attn_mask, deterministic=deterministic)
-        y = window_reverse(wins, window_size, B, Dp, Hp, Wp)
+        )
+        if use_fold and fold_front:
+            # whole block front half in one kernel pass: LN + partition +
+            # attention + reverse + residual (ops/pallas_attn_fold.py).
+            # LN and the residual add commute with the shift roll
+            # (elementwise), so shifted blocks stay correct.
+            ln_scale, ln_bias = _LayerNormParams(C, name="norm1")()
+            y = attn(
+                y, mask=attn_mask, deterministic=deterministic,
+                runtime_window=window_size, ln=(ln_scale, ln_bias),
+            )
+        elif use_fold:
+            # partition/reverse live in the kernel's BlockSpecs — the
+            # windows never exist as an HBM tensor (ops/pallas_attn_fold.py)
+            y = attn(
+                y, mask=attn_mask, deterministic=deterministic,
+                runtime_window=window_size,
+            )
+        else:
+            wins = window_partition(y, window_size)
+            wins = attn(wins, mask=attn_mask, deterministic=deterministic)
+            y = window_reverse(wins, window_size, B, Dp, Hp, Wp)
 
         if any(s > 0 for s in shift_size):
             y = jnp.roll(y, shift=shift_size, axis=(1, 2, 3))
         if pad_d or pad_h or pad_w:
             y = y[:, :D, :H, :W, :]
 
-        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
-            y, deterministic=deterministic
-        )
+        if use_fold and fold_front:
+            x = y  # residual already added in-kernel
+        else:
+            x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+                y, deterministic=deterministic
+            )
         # LN -> MLP -> residual tail.  The fused Pallas kernel keeps the
         # 4x-wide hidden activation and the LN stats in VMEM (the XLA chain is
         # HBM-bound on the hidden tensor); valid whenever the tail is

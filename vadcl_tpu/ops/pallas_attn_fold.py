@@ -1,0 +1,542 @@
+"""Folded Pallas window attention: partition/reverse live in the BlockSpecs.
+
+``fused_window_attention`` (ops/pallas_attn.py) consumes pre-partitioned
+``(B*nW, N, C)`` windows, so every Swin block pays two full activation
+round-trips through HBM for ``window_partition`` / ``window_reverse``
+(``model/swin_transformer.py:38-68`` semantics) around the kernel — at the
+flagship stage-0 geometry (batch 128: a 77 MB bf16 activation) that is four
+extra HBM passes per block.  This kernel instead reads the *un-partitioned*
+``(B, Dp, Hp, Wp, C)`` tensor directly: the grid is ``(B, Dp/wd, Hp/wh)`` and
+each cell's block is one full row of windows ``(1, wd, wh, Wp, C)``, so the
+DMA engine performs the partition as part of the block fetch and the windows
+never exist as a separate HBM tensor.  (The W axis cannot be split into the
+grid: Mosaic requires the block's second-to-last dim to be a multiple of 8 or
+the full array dim, and a window group ``gw*7`` is neither.)  VMEM pressure
+is managed *inside* the cell instead: the kernel walks the row in groups of
+``gw`` windows (VMEM-budgeted — a whole stage-0 row unrolled at once holds
+~32 MB of fp32 score-size intermediates against Mosaic's 16 MB scoped-vmem
+stack), and each group's score/prob/stack tiles die at the end of its
+iteration.
+
+Two further wins over the partitioned kernel fall out of the row layout:
+the qkv projection runs as ONE ``(wd*wh*Wp, C)`` row-major dot per cell (the
+per-token projections are layout-independent) instead of per-window
+``(N, C)`` dots, and the per-group proj dot covers ``gw`` windows — fatter
+MXU ops, fewer issue slots.
+
+Math parity with ``vadcl_tpu.ops.window.window_attention`` (itself parity
+with ``model/swin_transformer.py:139-171``): fp32 score accumulation and
+softmax, input-dtype value matmuls.  The shift ``jnp.roll`` (when any) stays
+in XLA — block fetches cannot express a modular shift.
+
+``folded_window_attention_trainable`` wraps the forward in a custom VJP whose
+backward partitions activations in XLA and reuses the existing flash-style
+backward kernel (ops/pallas_attn_bwd.py), then reverses dx — training takes
+the cheap folded forward and an unchanged, tested backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Tri = Tuple[int, int, int]
+
+# Measured on v5e: a stage-0 row fully unrolled (8 windows, nH=6, N=98)
+# allocates 31.7 MB of scoped vmem — ~13 live (wins*nH, N⌈8⌉, N⌈128⌉) fp32
+# score-size tiles (scores, post-bias copy, probabilities, lane-padded q/k/v
+# stacks and output).  Budget the per-group estimate well under Mosaic's
+# 16 MB scoped-vmem stack.
+_VMEM_BUDGET = 12 * 1024 * 1024
+_LIVE_TILES = 13
+
+
+def _pad_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _pick_gw(wins: int, num_heads: int, n: int) -> int:
+    """Windows per in-kernel group: a divisor of the per-row window count,
+    VMEM-budgeted (see _LIVE_TILES calibration above)."""
+    for cand in (8, 4, 2, 1):
+        if wins % cand:
+            continue
+        est = _LIVE_TILES * cand * num_heads * _pad_to(n, 8) * _pad_to(n, 128) * 4
+        if est <= _VMEM_BUDGET or cand == 1:
+            return cand
+    return 1
+
+
+def folded_attention_applicable(
+    grid_shape: Tri, window: Tri, num_heads: int
+) -> bool:
+    """True when (Dp, Hp, Wp) can run the folded kernel: window-divisible
+    (guaranteed post-pad) and a single window's group fits the VMEM budget."""
+    d, h, w = grid_shape
+    wd, wh, ww = window
+    if d % wd or h % wh or w % ww:
+        return False
+    n = wd * wh * ww
+    est = _LIVE_TILES * num_heads * _pad_to(n, 8) * _pad_to(n, 128) * 4
+    return est <= _VMEM_BUDGET
+
+
+def _fold_kernel(
+    x_ref,  # (1, wd, wh, Wp, C) one row of windows (compute dtype)
+    qkv_w_ref,  # (C, 3C)
+    qkv_b_ref,  # (1, 3C) fp32 (zeros when no bias)
+    proj_w_ref,  # (C, C)
+    proj_b_ref,  # (1, C) fp32
+    ln_s_ref,  # (1, C) fp32 LN scale (unused when not fuse_ln)
+    ln_b_ref,  # (1, C) fp32 LN bias
+    bias_ref,  # (nH, N, N) fp32 rel-pos bias (same block every cell)
+    mask_ref,  # (1, WINS, N, N) fp32 shift masks for this row's windows
+    out_ref,  # (1, wd, wh, Wp, C)
+    *,
+    num_heads: int,
+    scale: float,
+    window: Tri,
+    fuse_ln: bool,
+    residual: bool,
+):
+    wd, wh, ww = window
+    _, _, _, wp, c = x_ref.shape
+    wins = wp // ww
+    n = wd * wh * ww
+    hd = c // num_heads
+    dtype = x_ref.dtype
+    gw = _pick_gw(wins, num_heads, n)
+    npairs = wd * wh
+    bias = bias_ref[:]  # (nH, n, n)
+
+    # All row/window bookkeeping below is strictly 2D concats + slices:
+    # Mosaic cannot shape-cast 4D<->2D for narrow dtypes (bf16 tiling), so the
+    # (wd, wh, Wp, C) block is flattened by concatenating its (Wp, C) planes.
+    row = jnp.concatenate(
+        [x_ref[0, d, h] for d in range(wd) for h in range(wh)], axis=0
+    )  # (r, c), token order (d, h, wp)
+    if fuse_ln:
+        # pre-attention LayerNorm in VMEM (flax fast-variance numerics,
+        # ops/pallas_mlp._ln_f32) — saves the standalone LN HBM pass
+        from vadcl_tpu.ops.pallas_mlp import _ln_f32
+
+        row, _, _ = _ln_f32(
+            row.astype(jnp.float32), ln_s_ref[0, :], ln_b_ref[0, :]
+        )
+        row = row.astype(dtype)
+
+    # qkv for the WHOLE row in one dot — per-token, layout-independent
+    qkv_row = (
+        jnp.dot(row, qkv_w_ref[:], preferred_element_type=jnp.float32)
+        + qkv_b_ref[0, :]
+    ).astype(dtype)  # (r, 3c)
+
+    def win_slice(mat, w):
+        # (n, X) for window w: wd*wh strided ww-token runs of the row
+        return jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    mat, p * wp + w * ww, p * wp + (w + 1) * ww, axis=0
+                )
+                for p in range(npairs)
+            ],
+            axis=0,
+        )
+
+    # Walk the row in groups of gw windows; each iteration's score-size tiles
+    # are dead at its end, bounding live scoped VMEM to one group.
+    for g in range(wins // gw):
+        # per-window (n, 3c): the W-axis slice IS the window partition here
+        qkvs = [win_slice(qkv_row, w) for w in range(g * gw, (g + 1) * gw)]
+
+        def _wh_stack(base):
+            # (gw*nH, n, hd): window-major, head-minor (explicit lax slices —
+            # jnp None-indexing lowers via gather, unsupported in Mosaic)
+            parts = []
+            for w in range(gw):
+                for h in range(num_heads):
+                    parts.append(
+                        jax.lax.expand_dims(
+                            jax.lax.slice_in_dim(
+                                qkvs[w],
+                                base + h * hd,
+                                base + (h + 1) * hd,
+                                axis=1,
+                            ),
+                            (0,),
+                        )
+                    )
+            return jnp.concatenate(parts, 0)
+
+        q4 = _wh_stack(0)
+        k4 = _wh_stack(c)
+        v4 = _wh_stack(2 * c)
+
+        # ONE batched scores dot + ONE softmax + ONE attn@V per group
+        s4 = (
+            jax.lax.dot_general(
+                q4, k4, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # (gw*nH, n, n)
+        parts = []
+        for w in range(gw):
+            sw = jax.lax.slice_in_dim(
+                s4, w * num_heads, (w + 1) * num_heads, axis=0
+            )
+            mw = jax.lax.expand_dims(mask_ref[0, g * gw + w], (0,))
+            parts.append(sw + bias + mw)
+        s4 = jnp.concatenate(parts, 0)
+        p4 = jax.nn.softmax(s4, axis=-1).astype(dtype)
+        o4 = jax.lax.dot_general(
+            p4, v4, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (gw*nH, n, hd)
+
+        # reassemble the group's rows in (d, h, w_local, ww) token order —
+        # 2D concats only — then ONE proj dot over the whole group, and
+        # store each (wd, wh) plane's W-slice of the row
+        owins = [
+            jnp.concatenate(
+                [
+                    jax.lax.squeeze(
+                        jax.lax.slice_in_dim(
+                            o4, w * num_heads + h, w * num_heads + h + 1,
+                            axis=0,
+                        ),
+                        (0,),
+                    )
+                    for h in range(num_heads)
+                ],
+                axis=-1,
+            ).astype(dtype)  # (n, c), token order (d, h, ww)
+            for w in range(gw)
+        ]
+        orow = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    owins[w], p * ww, (p + 1) * ww, axis=0
+                )
+                for p in range(npairs)
+                for w in range(gw)
+            ],
+            axis=0,
+        )  # (wd*wh*gw*ww, c), row order (d, h, w_local, ww)
+        o2 = (
+            jnp.dot(orow, proj_w_ref[:], preferred_element_type=jnp.float32)
+            + proj_b_ref[0, :]
+        )
+        gww = gw * ww
+        for d in range(wd):
+            for h in range(wh):
+                p = d * wh + h
+                o_slice = jax.lax.slice_in_dim(
+                    o2, p * gww, (p + 1) * gww, axis=0
+                )
+                if residual:
+                    # the block's residual add, in VMEM (fp32 accumulate)
+                    o_slice = o_slice + x_ref[
+                        0, d, h, g * gww:(g + 1) * gww, :
+                    ].astype(jnp.float32)
+                out_ref[0, d, h, g * gww:(g + 1) * gww, :] = o_slice.astype(
+                    out_ref.dtype
+                )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window", "scale", "interpret", "residual"),
+)
+def fused_window_attention_folded(
+    x: jax.Array,  # (B, Dp, Hp, Wp, C) — already padded & (if shifted) rolled
+    qkv_w: jax.Array,  # (C, 3C)
+    qkv_b: Optional[jax.Array],  # (3C,) or None
+    proj_w: jax.Array,  # (C, C)
+    proj_b: jax.Array,  # (C,)
+    bias: jax.Array,  # (nH, N, N) fp32 — pre-gathered rel-pos bias
+    mask: Optional[jax.Array],  # (nW, N, N) fp32 or None (nW windows/image)
+    num_heads: int,
+    window: Tri,
+    scale: float,
+    interpret: bool = False,
+    ln_scale: Optional[jax.Array] = None,  # (C,) — fuse pre-attention LN
+    ln_bias: Optional[jax.Array] = None,
+    residual: bool = False,  # add x to the projected output in-kernel
+) -> jax.Array:
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window
+    assert d % wd == 0 and h % wh == 0 and w % ww == 0, (
+        "folded kernel requires window-divisible dims (pad first); use "
+        "folded_attention_applicable() to gate"
+    )
+    nd, nhb, wins = d // wd, h // wh, w // ww
+    n = wd * wh * ww
+    nrows = nd * nhb
+    dtype = x.dtype
+
+    qkv_b32 = (
+        qkv_b.astype(jnp.float32)
+        if qkv_b is not None
+        else jnp.zeros((3 * c,), jnp.float32)
+    ).reshape(1, -1)
+    # window enumeration order is (d, h, w) (ops/window.py:window_partition),
+    # so row (di, hi) covers mask rows [(di*nhb+hi)*wins, +wins)
+    if mask is None:
+        masks = jnp.zeros((nrows, wins, n, n), jnp.float32)
+    else:
+        masks = mask.astype(jnp.float32).reshape(nrows, wins, n, n)
+    fuse_ln = ln_scale is not None
+    ln_s = (
+        ln_scale.astype(jnp.float32)
+        if fuse_ln
+        else jnp.ones((c,), jnp.float32)
+    ).reshape(1, -1)
+    ln_b = (
+        ln_bias.astype(jnp.float32)
+        if fuse_ln
+        else jnp.zeros((c,), jnp.float32)
+    ).reshape(1, -1)
+
+    kernel = functools.partial(
+        _fold_kernel, num_heads=num_heads, scale=scale, window=window,
+        fuse_ln=fuse_ln, residual=residual,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nd, nhb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, wd, wh, w, c),
+                lambda bi, di, hi: (bi, di, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
+            pl.BlockSpec(
+                (num_heads, n, n),
+                lambda bi, di, hi: (0, 0, 0),  # same block every cell
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, wins, n, n),
+                lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, wd, wh, w, c),
+            lambda bi, di, hi: (bi, di, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), dtype),
+        interpret=interpret,
+    )(
+        x,
+        qkv_w.astype(dtype),
+        qkv_b32,
+        proj_w.astype(dtype),
+        proj_b.astype(jnp.float32).reshape(1, -1),
+        ln_s,
+        ln_b,
+        bias.astype(jnp.float32),
+        masks,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def folded_window_attention_trainable(
+    x: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: Optional[jax.Array],
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array],
+    num_heads: int,
+    window: Tri,
+    scale: float,
+    interpret: bool = False,
+):
+    """Differentiable folded attention: Pallas folded forward + the existing
+    flash-style Pallas backward over XLA-partitioned windows."""
+    return fused_window_attention_folded(
+        x, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+        num_heads=num_heads, window=window, scale=scale, interpret=interpret,
+    )
+
+
+def _fwd(x, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+         num_heads, window, scale, interpret):
+    out = fused_window_attention_folded(
+        x, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+        num_heads=num_heads, window=window, scale=scale, interpret=interpret,
+    )
+    return out, (x, qkv_w, qkv_b, proj_w, proj_b, bias, mask)
+
+
+def _bwd(num_heads, window, scale, interpret, res, do):
+    from vadcl_tpu.ops.pallas_attn_bwd import _bwd_call, _pick_wins_bwd
+    from vadcl_tpu.ops.window import window_partition, window_reverse
+
+    x, qkv_w, qkv_b, proj_w, proj_b, bias, mask = res
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window
+    n = wd * wh * ww
+    n_windows = (d // wd) * (h // wh) * (w // ww)
+    x_windows = window_partition(x, window)
+    do_windows = window_partition(do.astype(x.dtype), window)
+    bn = x_windows.shape[0]
+    wins = _pick_wins_bwd(bn, n_windows, num_heads, n)
+    nw_blocks = n_windows // wins
+    qkv_b32 = (
+        qkv_b.astype(jnp.float32)
+        if qkv_b is not None
+        else jnp.zeros((3 * c,), jnp.float32)
+    ).reshape(1, -1)
+    mask_f = (
+        mask.astype(jnp.float32)
+        if mask is not None
+        else jnp.zeros((n_windows, n, n), jnp.float32)
+    )
+    tables = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                bias.astype(jnp.float32)[None], (nw_blocks, num_heads, n, n)
+            ),
+            mask_f.reshape(nw_blocks, wins, n, n),
+        ],
+        axis=1,
+    )
+    dx_w, dqkv_w, dqkv_b, dproj_w, dproj_b, dbias = _bwd_call(
+        x_windows, qkv_w, qkv_b32, proj_w, proj_b, tables,
+        do_windows, num_heads, n_windows, scale, interpret,
+    )
+    dx = window_reverse(dx_w, window, b, d, h, w)
+    return (
+        dx,
+        dqkv_w.astype(qkv_w.dtype),
+        dqkv_b.reshape(-1).astype(qkv_b.dtype) if qkv_b is not None else None,
+        dproj_w.astype(proj_w.dtype),
+        dproj_b.reshape(-1).astype(proj_b.dtype),
+        dbias.astype(bias.dtype),
+        None,  # mask: constant
+    )
+
+
+folded_window_attention_trainable.defvjp(_fwd, _bwd)
+
+
+def _ln_xla(x, ln_s, ln_b):
+    """XLA replay of the kernel's in-VMEM LN (flax fast-variance, eps 1e-5),
+    used only by the backward to re-derive the attention input."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    mu2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(mu2 - mu * mu, 0.0)
+    xhat = (x32 - mu) * jax.lax.rsqrt(var + 1e-5)
+    return (
+        xhat * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+    ).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def folded_block_attention_trainable(
+    x: jax.Array,  # (B, Dp, Hp, Wp, C) raw (padded-free, rolled if shifted)
+    ln_s: jax.Array,  # (C,) norm1 scale
+    ln_b: jax.Array,  # (C,) norm1 bias
+    qkv_w: jax.Array,
+    qkv_b: Optional[jax.Array],
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array],
+    num_heads: int,
+    window: Tri,
+    scale: float,
+    interpret: bool = False,
+):
+    """Whole Swin-block attention front half in ONE kernel pass:
+    ``x + proj(attn(LN(x)))`` — the standalone LN and residual-add HBM
+    passes fold into the attention kernel's block fetch/store.  Backward
+    replays LN in XLA and reuses the flash-style attention backward."""
+    return fused_window_attention_folded(
+        x, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+        num_heads=num_heads, window=window, scale=scale, interpret=interpret,
+        ln_scale=ln_s, ln_bias=ln_b, residual=True,
+    )
+
+
+def _blk_fwd(x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+             num_heads, window, scale, interpret):
+    out = folded_block_attention_trainable(
+        x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+        num_heads, window, scale, interpret,
+    )
+    return out, (x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, mask)
+
+
+def _blk_bwd(num_heads, window, scale, interpret, res, do):
+    from vadcl_tpu.ops.pallas_attn_bwd import _bwd_call, _pick_wins_bwd
+    from vadcl_tpu.ops.window import window_partition, window_reverse
+
+    x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, mask = res
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window
+    n = wd * wh * ww
+    n_windows = (d // wd) * (h // wh) * (w // ww)
+    x_ln, ln_vjp = jax.vjp(_ln_xla, x, ln_s, ln_b)
+    x_windows = window_partition(x_ln, window)
+    do_windows = window_partition(do.astype(x.dtype), window)
+    bn = x_windows.shape[0]
+    wins = _pick_wins_bwd(bn, n_windows, num_heads, n)
+    nw_blocks = n_windows // wins
+    qkv_b32 = (
+        qkv_b.astype(jnp.float32)
+        if qkv_b is not None
+        else jnp.zeros((3 * c,), jnp.float32)
+    ).reshape(1, -1)
+    mask_f = (
+        mask.astype(jnp.float32)
+        if mask is not None
+        else jnp.zeros((n_windows, n, n), jnp.float32)
+    )
+    tables = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                bias.astype(jnp.float32)[None], (nw_blocks, num_heads, n, n)
+            ),
+            mask_f.reshape(nw_blocks, wins, n, n),
+        ],
+        axis=1,
+    )
+    dxln_w, dqkv_w, dqkv_b, dproj_w, dproj_b, dbias = _bwd_call(
+        x_windows, qkv_w, qkv_b32, proj_w, proj_b, tables,
+        do_windows, num_heads, n_windows, scale, interpret,
+    )
+    dx_ln = window_reverse(dxln_w, window, b, d, h, w)
+    dx, dln_s, dln_b = ln_vjp(dx_ln.astype(x_ln.dtype))
+    dx = dx + do.astype(dx.dtype)  # residual branch
+    return (
+        dx,
+        dln_s.astype(ln_s.dtype),
+        dln_b.astype(ln_b.dtype),
+        dqkv_w.astype(qkv_w.dtype),
+        dqkv_b.reshape(-1).astype(qkv_b.dtype) if qkv_b is not None else None,
+        dproj_w.astype(proj_w.dtype),
+        dproj_b.reshape(-1).astype(proj_b.dtype),
+        dbias.astype(bias.dtype),
+        None,  # mask: constant
+    )
+
+
+folded_block_attention_trainable.defvjp(_blk_fwd, _blk_bwd)

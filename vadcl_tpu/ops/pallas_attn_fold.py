@@ -29,10 +29,14 @@ with ``model/swin_transformer.py:139-171``): fp32 score accumulation and
 softmax, input-dtype value matmuls.  The shift ``jnp.roll`` (when any) stays
 in XLA — block fetches cannot express a modular shift.
 
-``folded_window_attention_trainable`` wraps the forward in a custom VJP whose
-backward partitions activations in XLA and reuses the existing flash-style
-backward kernel (ops/pallas_attn_bwd.py), then reverses dx — training takes
-the cheap folded forward and an unchanged, tested backward.
+``folded_window_attention_trainable`` wraps the forward in a custom VJP.
+The backward is folded too (``_fold_bwd_kernel``): the same ``(B, nd, nhb)``
+row grid reads the un-partitioned ``x`` and ``do`` blocks directly,
+recomputes LN/qkv/softmax in VMEM (flash-style), applies the LN vjp and
+residual per stored slice, and accumulates weight grads across grid cells —
+so the backward pays zero partition/reverse/LN-replay HBM round-trips.
+Geometries whose single-window VMEM estimate exceeds the budget fall back to
+the original XLA-partition + flash backward (ops/pallas_attn_bwd.py).
 """
 
 from __future__ import annotations
@@ -249,6 +253,416 @@ def _fold_kernel(
                 )
 
 
+# The backward holds roughly 1.5x the forward's live score-size tiles at a
+# time (scores, probs fp32+compute, dp, ds, scaled ds, plus the lane-padded
+# q/k/v/do/dq/dk/dv stacks — hd pads to a full 128-lane tile, so each stack
+# costs a score tile too).  18 was calibrated so stage-2 (nH=12, N=98) still
+# fits at gw=1 while leaving headroom under Mosaic's 16 MB scoped-vmem stack.
+_LIVE_TILES_BWD = 18
+
+
+def _pick_gw_bwd(wins: int, num_heads: int, n: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if wins % cand:
+            continue
+        est = (
+            _LIVE_TILES_BWD * cand * num_heads
+            * _pad_to(n, 8) * _pad_to(n, 128) * 4
+        )
+        if est <= _VMEM_BUDGET or cand == 1:
+            return cand
+    return 1
+
+
+def folded_bwd_applicable(
+    grid_shape: Tri, window: Tri, num_heads: int
+) -> bool:
+    """True when the folded backward kernel fits: window-divisible dims and a
+    single window's group under the (more conservative) backward budget."""
+    d, h, w = grid_shape
+    wd, wh, ww = window
+    if d % wd or h % wh or w % ww:
+        return False
+    n = wd * wh * ww
+    est = _LIVE_TILES_BWD * num_heads * _pad_to(n, 8) * _pad_to(n, 128) * 4
+    return est <= _VMEM_BUDGET
+
+
+def _fold_bwd_kernel(
+    x_ref,  # (1, wd, wh, Wp, C) raw row block (compute dtype)
+    do_ref,  # (1, wd, wh, Wp, C) upstream grad
+    qkv_w_ref,  # (C, 3C)
+    qkv_b_ref,  # (1, 3C) fp32
+    proj_w_ref,  # (C, C)
+    ln_s_ref,  # (1, C) fp32 (unused when not fuse_ln)
+    ln_b_ref,  # (1, C) fp32
+    bias_ref,  # (nH, N, N) fp32
+    mask_ref,  # (1, WINS, N, N) fp32
+    dx_ref,  # (1, wd, wh, Wp, C) out
+    dqkv_w_ref,  # (C, 3C) fp32 accumulator
+    dqkv_b_ref,  # (1, 3C) fp32 accumulator
+    dproj_w_ref,  # (C, C) fp32 accumulator
+    dproj_b_ref,  # (1, C) fp32 accumulator
+    dbias_ref,  # (nH, N, N) fp32 accumulator
+    dln_s_ref,  # (1, C) fp32 accumulator
+    dln_b_ref,  # (1, C) fp32 accumulator
+    *,
+    num_heads: int,
+    scale: float,
+    window: Tri,
+    fuse_ln: bool,
+    residual: bool,
+):
+    wd, wh, ww = window
+    _, _, _, wp, c = x_ref.shape
+    wins = wp // ww
+    n = wd * wh * ww
+    hd = c // num_heads
+    dtype = x_ref.dtype
+    gw = _pick_gw_bwd(wins, num_heads, n)
+    npairs = wd * wh
+    bias = bias_ref[:]
+
+    first = jnp.logical_and(
+        jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+        pl.program_id(2) == 0,
+    )
+
+    @pl.when(first)
+    def _init():
+        dqkv_w_ref[:] = jnp.zeros_like(dqkv_w_ref)
+        dqkv_b_ref[:] = jnp.zeros_like(dqkv_b_ref)
+        dproj_w_ref[:] = jnp.zeros_like(dproj_w_ref)
+        dproj_b_ref[:] = jnp.zeros_like(dproj_b_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dln_s_ref[:] = jnp.zeros_like(dln_s_ref)
+        dln_b_ref[:] = jnp.zeros_like(dln_b_ref)
+
+    # ---- recompute forward for the whole row (same layout as _fold_kernel):
+    # 2D concats/slices only (Mosaic narrow-dtype shape-cast restriction)
+    row_raw = jnp.concatenate(
+        [x_ref[0, d, h] for d in range(wd) for h in range(wh)], axis=0
+    )  # (r, c), token order (d, h, wp)
+    if fuse_ln:
+        from vadcl_tpu.ops.pallas_mlp import _ln_f32
+
+        ln_out, xhat, rstd = _ln_f32(
+            row_raw.astype(jnp.float32), ln_s_ref[0, :], ln_b_ref[0, :]
+        )
+        row = ln_out.astype(dtype)
+    else:
+        row = row_raw
+        xhat = rstd = None
+    qkv_row = (
+        jnp.dot(row, qkv_w_ref[:], preferred_element_type=jnp.float32)
+        + qkv_b_ref[0, :]
+    ).astype(dtype)  # (r, 3c)
+    do_row = jnp.concatenate(
+        [do_ref[0, d, h] for d in range(wd) for h in range(wh)], axis=0
+    )  # (r, c)
+
+    def win_slice(mat, w):
+        return jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    mat, p * wp + w * ww, p * wp + (w + 1) * ww, axis=0
+                )
+                for p in range(npairs)
+            ],
+            axis=0,
+        )
+
+    gww = gw * ww
+    for g in range(wins // gw):
+        qkvs = [win_slice(qkv_row, w) for w in range(g * gw, (g + 1) * gw)]
+
+        def _wh_stack(base, mats, width):
+            parts = []
+            for w in range(gw):
+                for h in range(num_heads):
+                    parts.append(
+                        jax.lax.expand_dims(
+                            jax.lax.slice_in_dim(
+                                mats[w],
+                                base + h * width,
+                                base + (h + 1) * width,
+                                axis=1,
+                            ),
+                            (0,),
+                        )
+                    )
+            return jnp.concatenate(parts, 0)  # (gw*nH, n, width)
+
+        q4 = _wh_stack(0, qkvs, hd)
+        k4 = _wh_stack(c, qkvs, hd)
+        v4 = _wh_stack(2 * c, qkvs, hd)
+        s4 = (
+            jax.lax.dot_general(
+                q4, k4, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        parts = []
+        for w in range(gw):
+            sw = jax.lax.slice_in_dim(
+                s4, w * num_heads, (w + 1) * num_heads, axis=0
+            )
+            mw = jax.lax.expand_dims(mask_ref[0, g * gw + w], (0,))
+            parts.append(sw + bias + mw)
+        s4 = jnp.concatenate(parts, 0)
+        p4f = jax.nn.softmax(s4, axis=-1)  # fp32
+        p4 = p4f.astype(dtype)
+        o4 = jax.lax.dot_general(
+            p4, v4, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (gw*nH, n, hd) fp32
+
+        # ---- proj backward per window; build the do stack ----
+        do4_parts = []
+        for w in range(gw):
+            o = jnp.concatenate(
+                [
+                    jax.lax.squeeze(
+                        jax.lax.slice_in_dim(
+                            o4, w * num_heads + h, w * num_heads + h + 1,
+                            axis=0,
+                        ),
+                        (0,),
+                    )
+                    for h in range(num_heads)
+                ],
+                axis=-1,
+            ).astype(dtype)  # (n, c)
+            dout = win_slice(do_row, g * gw + w)  # (n, c)
+            dproj_b_ref[0, :] += jnp.sum(dout.astype(jnp.float32), axis=0)
+            dproj_w_ref[:] += jax.lax.dot_general(
+                o, dout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dproj_w_ref.dtype)
+            doa = jax.lax.dot_general(
+                dout, proj_w_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)  # (n, c) = dout @ proj_w^T
+            for h in range(num_heads):
+                do4_parts.append(
+                    jax.lax.expand_dims(
+                        jax.lax.slice_in_dim(
+                            doa, h * hd, (h + 1) * hd, axis=1
+                        ),
+                        (0,),
+                    )
+                )
+        do4 = jnp.concatenate(do4_parts, 0)  # (gw*nH, n, hd)
+
+        # dv = P^T dO ; dP = dO V^T ; softmax backward
+        dv4 = jax.lax.dot_general(
+            p4, do4, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp4 = jax.lax.dot_general(
+            do4, v4, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds4 = p4f * (dp4 - jnp.sum(dp4 * p4f, axis=-1, keepdims=True))
+        for h in range(num_heads):
+            acc = None
+            for w in range(gw):
+                blk = jax.lax.squeeze(
+                    jax.lax.slice_in_dim(
+                        ds4, w * num_heads + h, w * num_heads + h + 1, axis=0
+                    ),
+                    (0,),
+                )
+                acc = blk if acc is None else acc + blk
+            dbias_ref[h] += acc.astype(dbias_ref.dtype)
+
+        ds4s = (ds4 * scale).astype(dtype)
+        dq4 = jax.lax.dot_general(
+            ds4s, k4, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk4 = jax.lax.dot_general(
+            ds4s, q4, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+        # ---- dqkv per window -> weight grads + d(attention input) ----
+        dxa_wins = []
+        for w in range(gw):
+            cols = []
+            for grad4 in (dq4, dk4, dv4):
+                for h in range(num_heads):
+                    cols.append(
+                        jax.lax.squeeze(
+                            jax.lax.slice_in_dim(
+                                grad4, w * num_heads + h,
+                                w * num_heads + h + 1, axis=0,
+                            ),
+                            (0,),
+                        )
+                    )
+            dqkv = jnp.concatenate(cols, axis=-1)  # (n, 3c) fp32
+            dqkv_b_ref[0, :] += jnp.sum(dqkv, axis=0).astype(
+                dqkv_b_ref.dtype
+            )
+            xw = win_slice(row, g * gw + w)  # LN output when fuse_ln
+            dqkv_w_ref[:] += jax.lax.dot_general(
+                xw, dqkv.astype(dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_w_ref.dtype)
+            dxa_wins.append(
+                jax.lax.dot_general(
+                    dqkv.astype(dtype), qkv_w_ref[:],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (n, c) fp32 — d(LN output) for this window
+            )
+
+        # reassemble the group's rows in (d, h, w_local, ww) order, then per
+        # (wd, wh) plane: LN vjp (per-token) + residual + store
+        drow = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    dxa_wins[w], p * ww, (p + 1) * ww, axis=0
+                )
+                for p in range(npairs)
+                for w in range(gw)
+            ],
+            axis=0,
+        )  # (npairs*gww, c) fp32
+        for d in range(wd):
+            for h in range(wh):
+                p = d * wh + h
+                dxln = jax.lax.slice_in_dim(
+                    drow, p * gww, (p + 1) * gww, axis=0
+                )  # (gww, c) fp32
+                if fuse_ln:
+                    t0 = p * wp + g * gww
+                    xh = jax.lax.slice_in_dim(xhat, t0, t0 + gww, axis=0)
+                    rs = jax.lax.slice_in_dim(rstd, t0, t0 + gww, axis=0)
+                    dln_s_ref[0, :] += jnp.sum(dxln * xh, axis=0)
+                    dln_b_ref[0, :] += jnp.sum(dxln, axis=0)
+                    dxhat = dxln * ln_s_ref[0, :]
+                    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+                    m2 = jnp.mean(dxhat * xh, axis=-1, keepdims=True)
+                    dslice = rs * (dxhat - m1 - xh * m2)
+                else:
+                    dslice = dxln
+                if residual:
+                    dslice = dslice + do_ref[
+                        0, d, h, g * gww:(g + 1) * gww, :
+                    ].astype(jnp.float32)
+                dx_ref[0, d, h, g * gww:(g + 1) * gww, :] = dslice.astype(
+                    dx_ref.dtype
+                )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "window", "scale", "fuse_ln", "residual", "interpret"
+    ),
+)
+def _fold_bwd_call(
+    x: jax.Array,  # (B, Dp, Hp, Wp, C) raw (rolled if shifted)
+    do: jax.Array,  # (B, Dp, Hp, Wp, C)
+    qkv_w: jax.Array,
+    qkv_b32: jax.Array,  # (1, 3C) fp32
+    proj_w: jax.Array,
+    ln_s: jax.Array,  # (1, C) fp32
+    ln_b: jax.Array,  # (1, C) fp32
+    bias: jax.Array,  # (nH, N, N)
+    mask: Optional[jax.Array],  # (nW, N, N) or None
+    num_heads: int,
+    window: Tri,
+    scale: float,
+    fuse_ln: bool,
+    residual: bool,
+    interpret: bool = False,
+):
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window
+    nd, nhb, wins = d // wd, h // wh, w // ww
+    n = wd * wh * ww
+    nrows = nd * nhb
+    dtype = x.dtype
+    nH = num_heads
+    if mask is None:
+        masks = jnp.zeros((nrows, wins, n, n), jnp.float32)
+    else:
+        masks = mask.astype(jnp.float32).reshape(nrows, wins, n, n)
+
+    kernel = functools.partial(
+        _fold_bwd_kernel, num_heads=num_heads, scale=scale, window=window,
+        fuse_ln=fuse_ln, residual=residual,
+    )
+    row_spec = pl.BlockSpec(
+        (1, wd, wh, w, c),
+        lambda bi, di, hi: (bi, di, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    const2 = lambda bi, di, hi: (0, 0)  # noqa: E731
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, d, h, w, c), dtype),  # dx
+        jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),  # dqkv_w
+        jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),  # dqkv_b
+        jax.ShapeDtypeStruct((c, c), jnp.float32),  # dproj_w
+        jax.ShapeDtypeStruct((1, c), jnp.float32),  # dproj_b
+        jax.ShapeDtypeStruct((nH, n, n), jnp.float32),  # dbias
+        jax.ShapeDtypeStruct((1, c), jnp.float32),  # dln_s
+        jax.ShapeDtypeStruct((1, c), jnp.float32),  # dln_b
+    )
+    out_specs = (
+        row_spec,
+        pl.BlockSpec((c, 3 * c), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (nH, n, n), lambda bi, di, hi: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nd, nhb),
+        in_specs=[
+            row_spec,  # x
+            row_spec,  # do
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
+            pl.BlockSpec(
+                (num_heads, n, n),
+                lambda bi, di, hi: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, wins, n, n),
+                lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        x,
+        do.astype(dtype),
+        qkv_w.astype(dtype),
+        qkv_b32,
+        proj_w.astype(dtype),
+        ln_s,
+        ln_b,
+        bias.astype(jnp.float32),
+        masks,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "window", "scale", "interpret", "residual"),
@@ -392,6 +806,30 @@ def _bwd(num_heads, window, scale, interpret, res, do):
     b, d, h, w, c = x.shape
     wd, wh, ww = window
     n = wd * wh * ww
+    if folded_bwd_applicable((d, h, w), window, num_heads):
+        qkv_b32 = (
+            qkv_b.astype(jnp.float32)
+            if qkv_b is not None
+            else jnp.zeros((3 * c,), jnp.float32)
+        ).reshape(1, -1)
+        ones = jnp.ones((1, c), jnp.float32)
+        zeros = jnp.zeros((1, c), jnp.float32)
+        dx, dqkv_w, dqkv_b, dproj_w, dproj_b, dbias, _, _ = _fold_bwd_call(
+            x, do, qkv_w, qkv_b32, proj_w, ones, zeros, bias, mask,
+            num_heads=num_heads, window=window, scale=scale,
+            fuse_ln=False, residual=False, interpret=interpret,
+        )
+        return (
+            dx,
+            dqkv_w.astype(qkv_w.dtype),
+            dqkv_b.reshape(-1).astype(qkv_b.dtype)
+            if qkv_b is not None
+            else None,
+            dproj_w.astype(proj_w.dtype),
+            dproj_b.reshape(-1).astype(proj_b.dtype),
+            dbias.astype(bias.dtype),
+            None,  # mask: constant
+        )
     n_windows = (d // wd) * (h // wh) * (w // ww)
     x_windows = window_partition(x, window)
     do_windows = window_partition(do.astype(x.dtype), window)
@@ -493,6 +931,35 @@ def _blk_bwd(num_heads, window, scale, interpret, res, do):
     b, d, h, w, c = x.shape
     wd, wh, ww = window
     n = wd * wh * ww
+    if folded_bwd_applicable((d, h, w), window, num_heads):
+        qkv_b32 = (
+            qkv_b.astype(jnp.float32)
+            if qkv_b is not None
+            else jnp.zeros((3 * c,), jnp.float32)
+        ).reshape(1, -1)
+        (
+            dx, dqkv_w, dqkv_b, dproj_w, dproj_b, dbias, dln_s, dln_b
+        ) = _fold_bwd_call(
+            x, do, qkv_w, qkv_b32, proj_w,
+            ln_s.astype(jnp.float32).reshape(1, -1),
+            ln_b.astype(jnp.float32).reshape(1, -1),
+            bias, mask,
+            num_heads=num_heads, window=window, scale=scale,
+            fuse_ln=True, residual=True, interpret=interpret,
+        )
+        return (
+            dx,
+            dln_s.reshape(-1).astype(ln_s.dtype),
+            dln_b.reshape(-1).astype(ln_b.dtype),
+            dqkv_w.astype(qkv_w.dtype),
+            dqkv_b.reshape(-1).astype(qkv_b.dtype)
+            if qkv_b is not None
+            else None,
+            dproj_w.astype(proj_w.dtype),
+            dproj_b.reshape(-1).astype(proj_b.dtype),
+            dbias.astype(bias.dtype),
+            None,  # mask: constant
+        )
     n_windows = (d // wd) * (h // wh) * (w // ww)
     x_ln, ln_vjp = jax.vjp(_ln_xla, x, ln_s, ln_b)
     x_windows = window_partition(x_ln, window)

@@ -223,6 +223,119 @@ def test_folded_block_front_grads_match_xla():
         assert d / scale < 1e-4, (name, d, scale)
 
 
+def _mlp_setup(C, seed):
+    rng = np.random.RandomState(seed)
+    Ch = 4 * C
+    return (
+        jnp.asarray(1.0 + rng.randn(C) * 0.1, jnp.float32),
+        jnp.asarray(rng.randn(C) * 0.1, jnp.float32),
+        jnp.asarray(rng.randn(C, Ch) * 0.05, jnp.float32),
+        jnp.asarray(rng.randn(Ch) * 0.05, jnp.float32),
+        jnp.asarray(rng.randn(Ch, C) * 0.05, jnp.float32),
+        jnp.asarray(rng.randn(C) * 0.05, jnp.float32),
+    )
+
+
+def _ln_oracle(x, s, b):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu, 0.0)
+    return (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * s + b
+
+
+def _gelu_oracle(h):
+    return h * 0.5 * (1.0 + jax.lax.erf(h * 0.7071067811865476))
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_folded_full_block_matches_xla(shifted):
+    """The whole Swin block (LN1+attn+residual+LN2+MLP+residual) in one
+    kernel pass == the XLA composition (fwd), multi-window rows."""
+    from vadcl_tpu.ops.pallas_attn_fold import (
+        folded_full_block_applicable, folded_full_block_trainable,
+    )
+
+    ws, dims, C, nH = (2, 7, 7), (2, 14, 28), 48, 4
+    D, H, W = dims
+    x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask = _setup(
+        ws, dims, C, nH, shifted, seed=17
+    )
+    B = x.shape[0]
+    ln_s, ln_b, *_ = _mlp_setup(C, 19)
+    ln2_s, ln2_b, w1, b1, w2, b2 = _mlp_setup(C, 23)
+    assert folded_full_block_applicable(dims, ws, nH, C, 4 * C)
+    maskj = jnp.asarray(mask) if mask is not None else None
+
+    xw = window_partition(_ln_oracle(x, ln_s, ln_b), ws)
+    y1 = x + window_reverse(
+        window_attention(xw, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH,
+                         mask=mask),
+        ws, B, D, H, W,
+    )
+    z = _ln_oracle(y1, ln2_s, ln2_b)
+    want = y1 + (_gelu_oracle(z @ w1 + b1) @ w2 + b2)
+
+    got = folded_full_block_trainable(
+        x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b,
+        _bias_from_table(tbl, idx, N, nH), maskj,
+        ln2_s, ln2_b, w1, b1, w2, b2,
+        nH, ws, (C // nH) ** -0.5, True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_folded_full_block_grads_match_xla():
+    """All 14 gradients of the whole-block kernel vs the XLA composition."""
+    from vadcl_tpu.ops.pallas_attn_fold import folded_full_block_trainable
+
+    ws, dims, C, nH = (2, 7, 7), (2, 14, 14), 24, 4
+    D, H, W = dims
+    x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask = _setup(
+        ws, dims, C, nH, True, seed=29
+    )
+    B = x.shape[0]
+    ln_s, ln_b, *_ = _mlp_setup(C, 31)
+    ln2_s, ln2_b, w1, b1, w2, b2 = _mlp_setup(C, 37)
+    probe = jnp.asarray(np.random.RandomState(41).randn(B, D, H, W, C),
+                        jnp.float32)
+    maskj = jnp.asarray(mask)
+    idx_flat = np.asarray(idx[:N, :N]).reshape(-1)
+
+    def loss_ref(x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, tbl,
+                 ln2_s, ln2_b, w1, b1, w2, b2):
+        y = _ln_oracle(x, ln_s, ln_b)
+        xw = window_partition(y, ws)
+        o = window_attention(xw, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH,
+                             mask=mask)
+        y1 = x + window_reverse(o, ws, B, D, H, W)
+        z = _ln_oracle(y1, ln2_s, ln2_b)
+        out = y1 + (_gelu_oracle(z @ w1 + b1) @ w2 + b2)
+        return jnp.sum(out * probe)
+
+    def loss_fold(x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, tbl,
+                  ln2_s, ln2_b, w1, b1, w2, b2):
+        bias = jnp.transpose(tbl[idx_flat].reshape(N, N, nH), (2, 0, 1))
+        o = folded_full_block_trainable(
+            x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, maskj,
+            ln2_s, ln2_b, w1, b1, w2, b2,
+            nH, ws, (C // nH) ** -0.5, True,
+        )
+        return jnp.sum(o * probe)
+
+    args = (x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, tbl,
+            ln2_s, ln2_b, w1, b1, w2, b2)
+    gr = jax.grad(loss_ref, argnums=tuple(range(14)))(*args)
+    gf = jax.grad(loss_fold, argnums=tuple(range(14)))(*args)
+    names = ["dx", "dln_s", "dln_b", "dqkv_w", "dqkv_b", "dproj_w",
+             "dproj_b", "dtable", "dln2_s", "dln2_b", "dw1", "db1",
+             "dw2", "db2"]
+    for name, a, b in zip(names, gr, gf):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert d / scale < 1e-4, (name, d, scale)
+
+
 def test_applicability_gate():
     # window-divisible dims qualify; ragged dims do not
     assert folded_attention_applicable((2, 56, 56), (2, 7, 7), 6)
@@ -240,9 +353,12 @@ def test_swin_block_fold_param_tree_and_fallback():
     trees = []
     # fused fold triggers the block-front path (LN folded into the kernel);
     # its param tree must stay checkpoint-compatible with the base path
-    for kernel, fused in (("base", False), ("fold", False), ("fold", True)):
+    for kernel, fused in (
+        ("base", False), ("fold", False), ("fold", True),
+        ("fold_block", True),  # whole-block path must keep the same tree
+    ):
         blk = SwinBlock3D(dim=24, num_heads=4, window_size=(2, 7, 7),
                           fused=fused, attn_kernel=kernel)
         v = jax.eval_shape(blk.init, jax.random.key(0), x)
         trees.append(jax.tree_util.tree_structure(v))
-    assert trees[0] == trees[1] == trees[2]
+    assert all(t == trees[0] for t in trees[1:])

@@ -155,6 +155,49 @@ def main():
         wins_x, iters=K, gflops=attn_gflops,
     )
 
+    # folded family: reads the UN-partitioned tensor (BlockSpec partition)
+    from vadcl_tpu.ops.pallas_attn_fold import (
+        folded_full_block_trainable,
+        fused_window_attention_folded,
+    )
+
+    bench_fn(
+        "folded attention kernel",
+        lambda a: fused_window_attention_folded(
+            a, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH, win,
+            (C // nH) ** -0.5,
+        ),
+        x, iters=K, gflops=attn_gflops,
+    )
+    ln_s = jnp.ones((C,), jnp.float32)
+    ln_b = jnp.zeros((C,), jnp.float32)
+    w1 = jnp.asarray(rng.randn(C, 4 * C) * 0.02, jnp.float32)
+    b1 = jnp.zeros((4 * C,), jnp.float32)
+    w2 = jnp.asarray(rng.randn(4 * C, C) * 0.02, jnp.float32)
+    b2 = jnp.zeros((C,), jnp.float32)
+    blk_gflops = attn_gflops + mlp_gflops
+    bench_fn(
+        "whole-block kernel (fwd)",
+        lambda a: folded_full_block_trainable(
+            a, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, None,
+            ln_s, ln_b, w1, b1, w2, b2, nH, win, (C // nH) ** -0.5,
+        ),
+        x, iters=K, gflops=blk_gflops,
+    )
+    bench_fn(
+        "whole-block kernel (fwd+bwd)",
+        lambda a: jax.grad(
+            lambda xx: jnp.sum(
+                folded_full_block_trainable(
+                    xx, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias,
+                    None, ln_s, ln_b, w1, b1, w2, b2, nH, win,
+                    (C // nH) ** -0.5,
+                ).astype(jnp.float32)
+            )
+        )(a),
+        x, iters=K, gflops=3 * blk_gflops,
+    )
+
     for fused in (True, False):
         blk = SwinBlock3D(
             dim=C, num_heads=nH, window_size=(8, 7, 7), fused=fused, dtype=dt

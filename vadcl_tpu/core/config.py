@@ -68,7 +68,11 @@ class ModelConfig:
     # MXU ops at ~2.8x padded FLOPs; wins on a full-rate chip, INFERENCE-ONLY:
     # it has no VJP), or "fold" (trainable; window partition/reverse folded
     # into the kernel's BlockSpecs — kills two HBM activation round-trips per
-    # Swin block, measured 1.17-1.19x over "base" at flagship geometry).
+    # Swin block, measured 1.17-1.19x over "base" at flagship geometry; its
+    # BACKWARD is folded too, whole train step 167 -> 155 ms at batch 32), or
+    # "fold_block" (fold + in-kernel MLP tail: the entire Swin block is ONE
+    # kernel each way; opt-in — measured slower end-to-end than fold's
+    # two-kernel split on v5e, kept for A/B and future chips).
     # bench.py auto-picks per same-run chip calibration.
     attn_kernel: str = "base"
     # memory-augmented alternates (reference model/Memory.py:63, conv_mae/*)

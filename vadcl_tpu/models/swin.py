@@ -56,7 +56,9 @@ class WindowAttention3D(nn.Module):
     n_windows: int = 1  # windows per image, needed by the fused kernel
     # "base" (trainable) | "packed" (inference-only) | "fold" (trainable;
     # partition/reverse folded into the kernel's BlockSpecs — SwinBlock3D
-    # passes the un-partitioned 5D tensor via ``runtime_window``)
+    # passes the un-partitioned 5D tensor via ``runtime_window``) |
+    # "fold_block" (fold + the whole-block MLP tail via ``mlp=``; opt-in,
+    # measured slower end-to-end on v5e — see SwinBlock3D)
     attn_kernel: str = "base"
     dtype: jnp.dtype = jnp.float32
 
@@ -64,7 +66,8 @@ class WindowAttention3D(nn.Module):
     def __call__(self, x_windows, mask: Optional[np.ndarray] = None,
                  deterministic: bool = True,
                  runtime_window: Optional[Tri] = None,
-                 ln: Optional[Tuple[jax.Array, jax.Array]] = None):
+                 ln: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 mlp: Optional[Tuple[jax.Array, ...]] = None):
         wd, wh, ww = self.window_size
         table = self.param(
             "relative_position_bias_table",
@@ -107,11 +110,36 @@ class WindowAttention3D(nn.Module):
                 # block's norm1 and residual add fold in too.
                 from vadcl_tpu.ops.pallas_attn_fold import (
                     folded_block_attention_trainable,
+                    folded_full_block_trainable,
                     folded_window_attention_trainable,
                 )
 
                 maskj = jnp.asarray(mask) if mask is not None else None
-                if ln is not None:
+                if ln is not None and mlp is not None:
+                    # whole Swin block in one kernel each way: LN1 + attn +
+                    # residual + LN2 + MLP + residual (the backward chains
+                    # MLP-vjp -> attn-vjp -> LN1-vjp entirely in VMEM)
+                    out = folded_full_block_trainable(
+                        x_windows.astype(self.dtype),
+                        ln[0],
+                        ln[1],
+                        qkv_w,
+                        qkv_b,
+                        proj_w,
+                        proj_b,
+                        bias,
+                        maskj,
+                        mlp[0],
+                        mlp[1],
+                        mlp[2],
+                        mlp[3],
+                        mlp[4],
+                        mlp[5],
+                        self.num_heads,
+                        runtime_window,
+                        scale,
+                    )
+                elif ln is not None:
                     out = folded_block_attention_trainable(
                         x_windows.astype(self.dtype),
                         ln[0],
@@ -268,7 +296,7 @@ class SwinBlock3D(nn.Module):
         # it), and dropout/drop-path are identity
         fold_front = (
             self.fused
-            and self.attn_kernel == "fold"
+            and self.attn_kernel in ("fold", "fold_block")
             and not (pad_d or pad_h or pad_w)
             and (deterministic or (self.drop == 0.0 and self.drop_path == 0.0))
         )
@@ -308,7 +336,7 @@ class SwinBlock3D(nn.Module):
             * (Wp // window_size[2])
         )
         use_fold = False
-        if self.fused and self.attn_kernel == "fold":
+        if self.fused and self.attn_kernel in ("fold", "fold_block"):
             from vadcl_tpu.ops.pallas_attn_fold import (
                 folded_attention_applicable,
             )
@@ -330,16 +358,50 @@ class SwinBlock3D(nn.Module):
             dtype=self.dtype,
             name="attn",
         )
+        full_block = False
         if use_fold and fold_front:
             # whole block front half in one kernel pass: LN + partition +
             # attention + reverse + residual (ops/pallas_attn_fold.py).
             # LN and the residual add commute with the shift roll
             # (elementwise), so shifted blocks stay correct.
             ln_scale, ln_bias = _LayerNormParams(C, name="norm1")()
-            y = attn(
-                y, mask=attn_mask, deterministic=deterministic,
-                runtime_window=window_size, ln=(ln_scale, ln_bias),
+            # "fold_block" (opt-in): the MLP tail folds in too and the ENTIRE
+            # block is one kernel each way.  Measured SLOWER end-to-end than
+            # the default two-kernel split (fold front + fused_ln_mlp tail):
+            # 205.7 -> 192.7 clips/s train, 687 -> 659 infer at flagship
+            # geometry — the 512-token-tiled MLP kernel pipelines DMA/compute
+            # across the whole tensor better than a per-row in-kernel tail.
+            # Kept for A/B (tools/micro_bench.py) and future chips.
+            tail_ok = deterministic or (
+                self.drop == 0.0 and self.drop_path == 0.0
             )
+            if tail_ok and self.attn_kernel == "fold_block":
+                from vadcl_tpu.ops.pallas_attn_fold import (
+                    folded_full_block_applicable,
+                )
+
+                full_block = folded_full_block_applicable(
+                    (Dp, Hp, Wp), window_size, self.num_heads,
+                    C, int(C * self.mlp_ratio),
+                )
+            if full_block:
+                # ... and when VMEM allows, the MLP tail folds in too: the
+                # ENTIRE block is one kernel pass each way (per-token tail
+                # commutes with the shift roll like LN/residual do)
+                ln2_scale, ln2_bias = _LayerNormParams(C, name="norm2")()
+                (w1, b1), (w2, b2) = _MlpParams(
+                    C, int(C * self.mlp_ratio), name="mlp"
+                )()
+                y = attn(
+                    y, mask=attn_mask, deterministic=deterministic,
+                    runtime_window=window_size, ln=(ln_scale, ln_bias),
+                    mlp=(ln2_scale, ln2_bias, w1, b1, w2, b2),
+                )
+            else:
+                y = attn(
+                    y, mask=attn_mask, deterministic=deterministic,
+                    runtime_window=window_size, ln=(ln_scale, ln_bias),
+                )
         elif use_fold:
             # partition/reverse live in the kernel's BlockSpecs — the
             # windows never exist as an HBM tensor (ops/pallas_attn_fold.py)
@@ -359,6 +421,8 @@ class SwinBlock3D(nn.Module):
 
         if use_fold and fold_front:
             x = y  # residual already added in-kernel
+            if full_block:
+                return x  # the MLP tail ran in-kernel too
         else:
             x = shortcut + DropPath(self.drop_path, name="drop_path1")(
                 y, deterministic=deterministic

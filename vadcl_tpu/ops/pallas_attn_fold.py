@@ -64,16 +64,63 @@ def _pad_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _pick_gw(wins: int, num_heads: int, n: int) -> int:
+# The in-kernel MLP tail walks the row in token chunks of this many rows, so
+# its hidden-width temporaries stay small regardless of row length.
+_TAIL_CHUNK = 128
+
+
+def _pick_gw(wins: int, num_heads: int, n: int, extra: int = 0) -> int:
     """Windows per in-kernel group: a divisor of the per-row window count,
-    VMEM-budgeted (see _LIVE_TILES calibration above)."""
+    VMEM-budgeted (see _LIVE_TILES calibration above).  ``extra`` reserves
+    scoped-vmem for non-score-size residents (e.g. the MLP tail's row/chunk
+    tiles)."""
+    budget = _VMEM_BUDGET - extra
     for cand in (8, 4, 2, 1):
         if wins % cand:
             continue
         est = _LIVE_TILES * cand * num_heads * _pad_to(n, 8) * _pad_to(n, 128) * 4
-        if est <= _VMEM_BUDGET or cand == 1:
+        if est <= budget or cand == 1:
             return cand
     return 1
+
+
+def _tail_extra_bytes(r: int, c: int, ch: int) -> int:
+    """Scoped-vmem reserved by the MLP tail: the fp32 row accumulation plus
+    ~4 chunk-width hidden temporaries."""
+    return r * c * 4 * 2 + _TAIL_CHUNK * max(ch, c) * 4 * 4
+
+
+def _mlp_tail_rows(row1_f32, dtype, ln2_s, ln2_b, w1_ref, b1_ref, w2_ref,
+                   b2_ref):
+    """y = y1 + fc2(gelu(fc1(LN2(y1)))) over a (r, c) fp32 row, walked in
+    _TAIL_CHUNK token chunks; same cast boundaries as ops/pallas_mlp.py
+    (_fwd_kernel) so the fused and two-kernel paths are numerically
+    interchangeable."""
+    from vadcl_tpu.ops.pallas_mlp import _gelu_f32, _ln_f32
+
+    r = row1_f32.shape[0]
+    chunks = []
+    step = _TAIL_CHUNK if r > _TAIL_CHUNK else r
+    nfull = r // step
+    sizes = [step] * nfull + ([r - nfull * step] if r % step else [])
+    t0 = 0
+    for sz in sizes:
+        x32 = jax.lax.slice_in_dim(row1_f32, t0, t0 + sz, axis=0)
+        z, _, _ = _ln_f32(x32, ln2_s, ln2_b)
+        h = (
+            jnp.dot(z.astype(dtype), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b1_ref[0, :]
+        )
+        g = _gelu_f32(h.astype(dtype).astype(jnp.float32))
+        o = (
+            jnp.dot(g.astype(dtype), w2_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b2_ref[0, :]
+        )
+        chunks.append(x32 + o)
+        t0 += sz
+    return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
 
 
 def folded_attention_applicable(
@@ -107,6 +154,7 @@ def _fold_kernel(
     window: Tri,
     fuse_ln: bool,
     residual: bool,
+    tail=None,  # optional (ln2_s, ln2_b, w1, b1, w2, b2) refs: MLP tail
 ):
     wd, wh, ww = window
     _, _, _, wp, c = x_ref.shape
@@ -114,9 +162,13 @@ def _fold_kernel(
     n = wd * wh * ww
     hd = c // num_heads
     dtype = x_ref.dtype
-    gw = _pick_gw(wins, num_heads, n)
     npairs = wd * wh
+    extra = (
+        _tail_extra_bytes(npairs * wp, c, tail[2].shape[1]) if tail else 0
+    )
+    gw = _pick_gw(wins, num_heads, n, extra)
     bias = bias_ref[:]  # (nH, n, n)
+    slabs = [[] for _ in range(npairs)]  # tail mode: per-plane y1 pieces
 
     # All row/window bookkeeping below is strictly 2D concats + slices:
     # Mosaic cannot shape-cast 4D<->2D for narrow dtypes (bf16 tiling), so the
@@ -248,20 +300,55 @@ def _fold_kernel(
                     o_slice = o_slice + x_ref[
                         0, d, h, g * gww:(g + 1) * gww, :
                     ].astype(jnp.float32)
-                out_ref[0, d, h, g * gww:(g + 1) * gww, :] = o_slice.astype(
-                    out_ref.dtype
-                )
+                if tail is not None:
+                    # defer the store: the MLP tail consumes the whole row.
+                    # Cast through the compute dtype first — the two-kernel
+                    # path round-trips y1 through HBM in bf16, so this keeps
+                    # the fused and unfused paths numerically identical.
+                    slabs[p].append(o_slice.astype(dtype))
+                else:
+                    out_ref[0, d, h, g * gww:(g + 1) * gww, :] = (
+                        o_slice.astype(out_ref.dtype)
+                    )
+
+    if tail is not None:
+        ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref = tail
+        row1 = jnp.concatenate(
+            [piece for p in range(npairs) for piece in slabs[p]], axis=0
+        ).astype(jnp.float32)  # (r, c), token order (d, h, wp)
+        y = _mlp_tail_rows(
+            row1, dtype, ln2_s_ref[0, :], ln2_b_ref[0, :],
+            w1_ref, b1_ref, w2_ref, b2_ref,
+        )
+        for d in range(wd):
+            for h in range(wh):
+                p = d * wh + h
+                out_ref[0, d, h] = jax.lax.slice_in_dim(
+                    y, p * wp, (p + 1) * wp, axis=0
+                ).astype(out_ref.dtype)
 
 
 # The backward holds roughly 1.5x the forward's live score-size tiles at a
 # time (scores, probs fp32+compute, dp, ds, scaled ds, plus the lane-padded
 # q/k/v/do/dq/dk/dv stacks — hd pads to a full 128-lane tile, so each stack
-# costs a score tile too).  18 was calibrated so stage-2 (nH=12, N=98) still
-# fits at gw=1 while leaving headroom under Mosaic's 16 MB scoped-vmem stack.
-_LIVE_TILES_BWD = 18
+# costs a score tile too).  16 was calibrated on-chip: the whole-block
+# backward at (C=192, nH=12, N=98, gw=1) + MLP tail compiles and runs within
+# Mosaic's 16 MB scoped-vmem stack, so the estimate must admit it; nH=24
+# geometries still reject and fall back to the partitioned backward.
+_LIVE_TILES_BWD = 16
 
 
-def _pick_gw_bwd(wins: int, num_heads: int, n: int) -> int:
+def _bwd_tail_bytes(tokens: int, c: int, ch: int) -> int:
+    """Scoped-vmem reserved by the in-group MLP-tail backward: ~4 hidden-width
+    and ~6 feature-width fp32 temporaries over the group's tokens."""
+    return tokens * (4 * ch + 6 * c) * 4
+
+
+def _pick_gw_bwd(
+    wins: int, num_heads: int, n: int,
+    window: Tri = (1, 1, 1), c: int = 0, ch: int = 0,
+) -> int:
+    wd, wh, ww = window
     for cand in (8, 4, 2, 1):
         if wins % cand:
             continue
@@ -269,22 +356,29 @@ def _pick_gw_bwd(wins: int, num_heads: int, n: int) -> int:
             _LIVE_TILES_BWD * cand * num_heads
             * _pad_to(n, 8) * _pad_to(n, 128) * 4
         )
+        if ch:
+            est += _bwd_tail_bytes(wd * wh * cand * ww, c, ch)
         if est <= _VMEM_BUDGET or cand == 1:
             return cand
     return 1
 
 
 def folded_bwd_applicable(
-    grid_shape: Tri, window: Tri, num_heads: int
+    grid_shape: Tri, window: Tri, num_heads: int,
+    c: int = 0, mlp_hidden: int = 0,
 ) -> bool:
     """True when the folded backward kernel fits: window-divisible dims and a
-    single window's group under the (more conservative) backward budget."""
+    single window's group under the (more conservative) backward budget.
+    ``mlp_hidden`` > 0 additionally reserves room for the in-kernel MLP-tail
+    backward (whole-block mode)."""
     d, h, w = grid_shape
     wd, wh, ww = window
     if d % wd or h % wh or w % ww:
         return False
     n = wd * wh * ww
     est = _LIVE_TILES_BWD * num_heads * _pad_to(n, 8) * _pad_to(n, 128) * 4
+    if mlp_hidden:
+        est += _bwd_tail_bytes(n, c, mlp_hidden)
     return est <= _VMEM_BUDGET
 
 
@@ -312,6 +406,7 @@ def _fold_bwd_kernel(
     window: Tri,
     fuse_ln: bool,
     residual: bool,
+    tail_refs=None,  # whole-block mode: dict of MLP-tail refs (see _blk_bwd)
 ):
     wd, wh, ww = window
     _, _, _, wp, c = x_ref.shape
@@ -319,7 +414,8 @@ def _fold_bwd_kernel(
     n = wd * wh * ww
     hd = c // num_heads
     dtype = x_ref.dtype
-    gw = _pick_gw_bwd(wins, num_heads, n)
+    ch = tail_refs["w1"].shape[1] if tail_refs else 0
+    gw = _pick_gw_bwd(wins, num_heads, n, window, c, ch)
     npairs = wd * wh
     bias = bias_ref[:]
 
@@ -337,6 +433,9 @@ def _fold_bwd_kernel(
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
         dln_s_ref[:] = jnp.zeros_like(dln_s_ref)
         dln_b_ref[:] = jnp.zeros_like(dln_b_ref)
+        if tail_refs is not None:
+            for k in ("dln2_s", "dln2_b", "dw1", "db1", "dw2", "db2"):
+                tail_refs[k][:] = jnp.zeros_like(tail_refs[k])
 
     # ---- recompute forward for the whole row (same layout as _fold_kernel):
     # 2D concats/slices only (Mosaic narrow-dtype shape-cast restriction)
@@ -357,9 +456,13 @@ def _fold_bwd_kernel(
         jnp.dot(row, qkv_w_ref[:], preferred_element_type=jnp.float32)
         + qkv_b_ref[0, :]
     ).astype(dtype)  # (r, 3c)
-    do_row = jnp.concatenate(
-        [do_ref[0, d, h] for d in range(wd) for h in range(wh)], axis=0
-    )  # (r, c)
+    do_row = (
+        jnp.concatenate(
+            [do_ref[0, d, h] for d in range(wd) for h in range(wh)], axis=0
+        )  # (r, c)
+        if tail_refs is None
+        else None  # whole-block mode slices do_ref per group instead
+    )
 
     def win_slice(mat, w):
         return jnp.concatenate(
@@ -418,10 +521,9 @@ def _fold_bwd_kernel(
             preferred_element_type=jnp.float32,
         )  # (gw*nH, n, hd) fp32
 
-        # ---- proj backward per window; build the do stack ----
-        do4_parts = []
-        for w in range(gw):
-            o = jnp.concatenate(
+        # per-window attention outputs (n, c) in the compute dtype
+        owins = [
+            jnp.concatenate(
                 [
                     jax.lax.squeeze(
                         jax.lax.slice_in_dim(
@@ -433,8 +535,116 @@ def _fold_bwd_kernel(
                     for h in range(num_heads)
                 ],
                 axis=-1,
-            ).astype(dtype)  # (n, c)
-            dout = win_slice(do_row, g * gw + w)  # (n, c)
+            ).astype(dtype)
+            for w in range(gw)
+        ]
+
+        if tail_refs is None:
+            douts = [win_slice(do_row, g * gw + w) for w in range(gw)]
+            res_rows = None
+        else:
+            # ---- whole-block mode: recompute y1 for the group, run the MLP
+            # tail backward in VMEM, and use dy1 as the attention upstream ----
+            from vadcl_tpu.ops.pallas_mlp import (
+                _dgelu_f32, _gelu_f32, _ln_f32 as _ln2_f32,
+            )
+
+            orow = jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(owins[w], p * ww, (p + 1) * ww, axis=0)
+                    for p in range(npairs)
+                    for w in range(gw)
+                ],
+                axis=0,
+            )  # (T, c), plane order (d, h, w_local, ww)
+            o2 = (
+                jnp.dot(orow, proj_w_ref[:], preferred_element_type=jnp.float32)
+                + tail_refs["proj_b"][0, :]
+            )
+            xg = jnp.concatenate(
+                [
+                    x_ref[0, d, h, g * gww:(g + 1) * gww, :]
+                    for d in range(wd)
+                    for h in range(wh)
+                ],
+                axis=0,
+            )  # (T, c) raw input, plane order
+            # bf16 cast boundary = the two-kernel path's y1 HBM round-trip
+            y1g = (o2 + xg.astype(jnp.float32)).astype(dtype)
+            dog = jnp.concatenate(
+                [
+                    do_ref[0, d, h, g * gww:(g + 1) * gww, :]
+                    for d in range(wd)
+                    for h in range(wh)
+                ],
+                axis=0,
+            )  # (T, c) upstream block grad, plane order
+            scale2 = tail_refs["ln2_s"][0, :]
+            dy32 = dog.astype(jnp.float32)
+            z2, xhat2, rstd2 = _ln2_f32(
+                y1g.astype(jnp.float32), scale2, tail_refs["ln2_b"][0, :]
+            )
+            hh = (
+                jnp.dot(
+                    z2.astype(dtype), tail_refs["w1"][:],
+                    preferred_element_type=jnp.float32,
+                )
+                + tail_refs["b1"][0, :]
+            )
+            hb = hh.astype(dtype).astype(jnp.float32)
+            gact = _gelu_f32(hb)
+            tail_refs["db2"][:] += jnp.sum(dy32, axis=0, keepdims=True)
+            tail_refs["dw2"][:] += jax.lax.dot_general(
+                gact, dy32, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dg = jax.lax.dot_general(
+                dy32, tail_refs["w2"][:].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dh = dg * _dgelu_f32(hb)
+            tail_refs["db1"][:] += jnp.sum(dh, axis=0, keepdims=True)
+            tail_refs["dw1"][:] += jax.lax.dot_general(
+                z2, dh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dz = jax.lax.dot_general(
+                dh, tail_refs["w1"][:].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            tail_refs["dln2_s"][:] += jnp.sum(dz * xhat2, axis=0, keepdims=True)
+            tail_refs["dln2_b"][:] += jnp.sum(dz, axis=0, keepdims=True)
+            dxhat2 = dz * scale2
+            m1 = jnp.mean(dxhat2, axis=-1, keepdims=True)
+            m2 = jnp.mean(dxhat2 * xhat2, axis=-1, keepdims=True)
+            # dy1 = dY + LN2 vjp — the upstream grad into the block front;
+            # bf16 cast = the two-kernel path's dy1 HBM round-trip
+            res_rows = (
+                dy32 + rstd2 * (dxhat2 - m1 - xhat2 * m2)
+            ).astype(dtype)  # (T, c) plane order
+
+            def g_win_slice(mat, w):
+                # plane-ordered group rows -> window token order (n, c)
+                return jnp.concatenate(
+                    [
+                        jax.lax.slice_in_dim(
+                            mat, p * gww + w * ww, p * gww + (w + 1) * ww,
+                            axis=0,
+                        )
+                        for p in range(npairs)
+                    ],
+                    axis=0,
+                )
+
+            douts = [g_win_slice(res_rows, w) for w in range(gw)]
+
+        # ---- proj backward per window; build the do stack ----
+        do4_parts = []
+        for w in range(gw):
+            o = owins[w]  # (n, c)
+            dout = douts[w]  # (n, c)
             dproj_b_ref[0, :] += jnp.sum(dout.astype(jnp.float32), axis=0)
             dproj_w_ref[:] += jax.lax.dot_general(
                 o, dout, (((0,), (0,)), ((), ())),
@@ -550,9 +760,16 @@ def _fold_bwd_kernel(
                 else:
                     dslice = dxln
                 if residual:
-                    dslice = dslice + do_ref[
-                        0, d, h, g * gww:(g + 1) * gww, :
-                    ].astype(jnp.float32)
+                    # whole-block mode: the residual branch carries dy1 (the
+                    # MLP-tail backward's output), not the raw upstream dY
+                    res = (
+                        jax.lax.slice_in_dim(
+                            res_rows, p * gww, (p + 1) * gww, axis=0
+                        )
+                        if res_rows is not None
+                        else do_ref[0, d, h, g * gww:(g + 1) * gww, :]
+                    )
+                    dslice = dslice + res.astype(jnp.float32)
                 dx_ref[0, d, h, g * gww:(g + 1) * gww, :] = dslice.astype(
                     dx_ref.dtype
                 )
@@ -580,6 +797,7 @@ def _fold_bwd_call(
     fuse_ln: bool,
     residual: bool,
     interpret: bool = False,
+    tail=None,  # whole-block mode: (proj_b, ln2_s, ln2_b, w1, b1, w2)
 ):
     b, d, h, w, c = x.shape
     wd, wh, ww = window
@@ -593,17 +811,13 @@ def _fold_bwd_call(
     else:
         masks = mask.astype(jnp.float32).reshape(nrows, wins, n, n)
 
-    kernel = functools.partial(
-        _fold_bwd_kernel, num_heads=num_heads, scale=scale, window=window,
-        fuse_ln=fuse_ln, residual=residual,
-    )
     row_spec = pl.BlockSpec(
         (1, wd, wh, w, c),
         lambda bi, di, hi: (bi, di, hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
     const2 = lambda bi, di, hi: (0, 0)  # noqa: E731
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((b, d, h, w, c), dtype),  # dx
         jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),  # dqkv_w
         jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),  # dqkv_b
@@ -612,8 +826,8 @@ def _fold_bwd_call(
         jax.ShapeDtypeStruct((nH, n, n), jnp.float32),  # dbias
         jax.ShapeDtypeStruct((1, c), jnp.float32),  # dln_s
         jax.ShapeDtypeStruct((1, c), jnp.float32),  # dln_b
-    )
-    out_specs = (
+    ]
+    out_specs = [
         row_spec,
         pl.BlockSpec((c, 3 * c), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3 * c), const2, memory_space=pltpu.VMEM),
@@ -624,33 +838,27 @@ def _fold_bwd_call(
         ),
         pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(b, nd, nhb),
-        in_specs=[
-            row_spec,  # x
-            row_spec,  # do
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
-            pl.BlockSpec(
-                (num_heads, n, n),
-                lambda bi, di, hi: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, wins, n, n),
-                lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(
+    ]
+    in_specs = [
+        row_spec,  # x
+        row_spec,  # do
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
+        pl.BlockSpec(
+            (num_heads, n, n),
+            lambda bi, di, hi: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, wins, n, n),
+            lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [
         x,
         do.astype(dtype),
         qkv_w.astype(dtype),
@@ -660,7 +868,69 @@ def _fold_bwd_call(
         ln_b,
         bias.astype(jnp.float32),
         masks,
-    )
+    ]
+
+    if tail is None:
+        kernel = functools.partial(
+            _fold_bwd_kernel, num_heads=num_heads, scale=scale, window=window,
+            fuse_ln=fuse_ln, residual=residual,
+        )
+    else:
+        proj_b, ln2_s, ln2_b, w1, b1, w2 = tail
+        ch = w1.shape[1]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        operands += [
+            proj_b.astype(jnp.float32).reshape(1, -1),
+            ln2_s.astype(jnp.float32).reshape(1, -1),
+            ln2_b.astype(jnp.float32).reshape(1, -1),
+            w1.astype(dtype),
+            b1.astype(jnp.float32).reshape(1, -1),
+            w2.astype(dtype),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((1, c), jnp.float32),  # dln2_s
+            jax.ShapeDtypeStruct((1, c), jnp.float32),  # dln2_b
+            jax.ShapeDtypeStruct((c, ch), jnp.float32),  # dw1
+            jax.ShapeDtypeStruct((1, ch), jnp.float32),  # db1
+            jax.ShapeDtypeStruct((ch, c), jnp.float32),  # dw2
+            jax.ShapeDtypeStruct((1, c), jnp.float32),  # db2
+        ]
+        out_specs += [
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ch), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+        ]
+
+        def kernel(
+            x_r, do_r, qw_r, qb_r, pw_r, ls_r, lb_r, bi_r, mk_r,
+            pb_r, l2s_r, l2b_r, w1_r, b1_r, w2_r,
+            dx_r, dqw_r, dqb_r, dpw_r, dpb_r, dbi_r, dls_r, dlb_r,
+            dl2s_r, dl2b_r, dw1_r, db1_r, dw2_r, db2_r,
+        ):
+            _fold_bwd_kernel(
+                x_r, do_r, qw_r, qb_r, pw_r, ls_r, lb_r, bi_r, mk_r,
+                dx_r, dqw_r, dqb_r, dpw_r, dpb_r, dbi_r, dls_r, dlb_r,
+                num_heads=num_heads, scale=scale, window=window,
+                fuse_ln=fuse_ln, residual=residual,
+                tail_refs={
+                    "proj_b": pb_r, "ln2_s": l2s_r, "ln2_b": l2b_r,
+                    "w1": w1_r, "b1": b1_r, "w2": w2_r,
+                    "dln2_s": dl2s_r, "dln2_b": dl2b_r,
+                    "dw1": dw1_r, "db1": db1_r, "dw2": dw2_r, "db2": db2_r,
+                },
+            )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nd, nhb),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(*operands)
 
 
 @functools.partial(
@@ -682,12 +952,16 @@ def fused_window_attention_folded(
     ln_scale: Optional[jax.Array] = None,  # (C,) — fuse pre-attention LN
     ln_bias: Optional[jax.Array] = None,
     residual: bool = False,  # add x to the projected output in-kernel
+    mlp=None,  # optional (ln2_s, ln2_b, w1, b1, w2, b2): fuse the MLP tail
 ) -> jax.Array:
     b, d, h, w, c = x.shape
     wd, wh, ww = window
     assert d % wd == 0 and h % wh == 0 and w % ww == 0, (
         "folded kernel requires window-divisible dims (pad first); use "
         "folded_attention_applicable() to gate"
+    )
+    assert mlp is None or (residual and ln_scale is not None), (
+        "the MLP tail implies whole-block semantics (fused LN + residual)"
     )
     nd, nhb, wins = d // wd, h // wh, w // ww
     n = wd * wh * ww
@@ -717,44 +991,45 @@ def fused_window_attention_folded(
         else jnp.zeros((c,), jnp.float32)
     ).reshape(1, -1)
 
-    kernel = functools.partial(
-        _fold_kernel, num_heads=num_heads, scale=scale, window=window,
-        fuse_ln=fuse_ln, residual=residual,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(b, nd, nhb),
-        in_specs=[
-            pl.BlockSpec(
-                (1, wd, wh, w, c),
-                lambda bi, di, hi: (bi, di, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_b
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
-            pl.BlockSpec(
-                (num_heads, n, n),
-                lambda bi, di, hi: (0, 0, 0),  # same block every cell
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, wins, n, n),
-                lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
+    if mlp is None:
+        kernel = functools.partial(
+            _fold_kernel, num_heads=num_heads, scale=scale, window=window,
+            fuse_ln=fuse_ln, residual=residual,
+        )
+    else:
+        def kernel(x_r, qw_r, qb_r, pw_r, pb_r, ls_r, lb_r, bi_r, mk_r,
+                   l2s_r, l2b_r, w1_r, b1_r, w2_r, b2_r, out_r):
+            _fold_kernel(
+                x_r, qw_r, qb_r, pw_r, pb_r, ls_r, lb_r, bi_r, mk_r, out_r,
+                num_heads=num_heads, scale=scale, window=window,
+                fuse_ln=fuse_ln, residual=residual,
+                tail=(l2s_r, l2b_r, w1_r, b1_r, w2_r, b2_r),
+            )
+
+    in_specs = [
+        pl.BlockSpec(
             (1, wd, wh, w, c),
             lambda bi, di, hi: (bi, di, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), dtype),
-        interpret=interpret,
-    )(
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
+        pl.BlockSpec(
+            (num_heads, n, n),
+            lambda bi, di, hi: (0, 0, 0),  # same block every cell
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, wins, n, n),
+            lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [
         x,
         qkv_w.astype(dtype),
         qkv_b32,
@@ -764,7 +1039,30 @@ def fused_window_attention_folded(
         ln_b,
         bias.astype(jnp.float32),
         masks,
-    )
+    ]
+    if mlp is not None:
+        ln2_s, ln2_b, w1, b1, w2, b2 = mlp
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        operands += [
+            ln2_s.astype(jnp.float32).reshape(1, -1),
+            ln2_b.astype(jnp.float32).reshape(1, -1),
+            w1.astype(dtype),
+            b1.astype(jnp.float32).reshape(1, -1),
+            w2.astype(dtype),
+            b2.astype(jnp.float32).reshape(1, -1),
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nd, nhb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, wd, wh, w, c),
+            lambda bi, di, hi: (bi, di, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), dtype),
+        interpret=interpret,
+    )(*operands)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
@@ -1007,3 +1305,113 @@ def _blk_bwd(num_heads, window, scale, interpret, res, do):
 
 
 folded_block_attention_trainable.defvjp(_blk_fwd, _blk_bwd)
+
+
+def folded_full_block_applicable(
+    grid_shape: Tri, window: Tri, num_heads: int, c: int, mlp_hidden: int
+) -> bool:
+    """True when the whole Swin block (LN1+attn+residual+LN2+MLP+residual)
+    fits both the forward and backward folded kernels' VMEM budgets."""
+    d, h, w = grid_shape
+    wd, wh, ww = window
+    if d % wd or h % wh or w % ww:
+        return False
+    n = wd * wh * ww
+    r = wd * wh * w  # a full row of tokens (forward tail accumulates it)
+    fwd_est = (
+        _LIVE_TILES * num_heads * _pad_to(n, 8) * _pad_to(n, 128) * 4
+        + _tail_extra_bytes(r, c, mlp_hidden)
+    )
+    return fwd_est <= _VMEM_BUDGET and folded_bwd_applicable(
+        grid_shape, window, num_heads, c, mlp_hidden
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+def folded_full_block_trainable(
+    x: jax.Array,  # (B, Dp, Hp, Wp, C) raw (rolled if shifted)
+    ln_s: jax.Array,  # (C,) norm1
+    ln_b: jax.Array,
+    qkv_w: jax.Array,
+    qkv_b: Optional[jax.Array],
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    bias: jax.Array,
+    mask: Optional[jax.Array],
+    ln2_s: jax.Array,  # (C,) norm2
+    ln2_b: jax.Array,
+    w1: jax.Array,  # (C, Ch) mlp fc1
+    b1: jax.Array,
+    w2: jax.Array,  # (Ch, C) mlp fc2
+    b2: jax.Array,
+    num_heads: int,
+    window: Tri,
+    scale: float,
+    interpret: bool = False,
+):
+    """The ENTIRE Swin block in one kernel pass each way:
+    ``y = y1 + mlp(LN2(y1))``, ``y1 = x + proj(attn(LN1(x)))`` —
+    ``model/swin_transformer.py:174-277`` semantics.  The forward stores only
+    y; the backward recomputes attention and the MLP tail per row-group in
+    VMEM and chains MLP-vjp -> attention-vjp -> LN1-vjp without any
+    intermediate HBM tensor.  Gate with ``folded_full_block_applicable``."""
+    return fused_window_attention_folded(
+        x, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+        num_heads=num_heads, window=window, scale=scale, interpret=interpret,
+        ln_scale=ln_s, ln_bias=ln_b, residual=True,
+        mlp=(ln2_s, ln2_b, w1, b1, w2, b2),
+    )
+
+
+def _full_fwd(x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+              ln2_s, ln2_b, w1, b1, w2, b2,
+              num_heads, window, scale, interpret):
+    out = folded_full_block_trainable(
+        x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+        ln2_s, ln2_b, w1, b1, w2, b2, num_heads, window, scale, interpret,
+    )
+    return out, (x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+                 ln2_s, ln2_b, w1, b1, w2, b2)
+
+
+def _full_bwd(num_heads, window, scale, interpret, res, do):
+    (x, ln_s, ln_b, qkv_w, qkv_b, proj_w, proj_b, bias, mask,
+     ln2_s, ln2_b, w1, b1, w2, b2) = res
+    c = x.shape[-1]
+    qkv_b32 = (
+        qkv_b.astype(jnp.float32)
+        if qkv_b is not None
+        else jnp.zeros((3 * c,), jnp.float32)
+    ).reshape(1, -1)
+    (
+        dx, dqkv_w, dqkv_b, dproj_w, dproj_b, dbias, dln_s, dln_b,
+        dln2_s, dln2_b, dw1, db1, dw2, db2,
+    ) = _fold_bwd_call(
+        x, do, qkv_w, qkv_b32, proj_w,
+        ln_s.astype(jnp.float32).reshape(1, -1),
+        ln_b.astype(jnp.float32).reshape(1, -1),
+        bias, mask,
+        num_heads=num_heads, window=window, scale=scale,
+        fuse_ln=True, residual=True, interpret=interpret,
+        tail=(proj_b, ln2_s, ln2_b, w1, b1, w2),
+    )
+    return (
+        dx,
+        dln_s.reshape(-1).astype(ln_s.dtype),
+        dln_b.reshape(-1).astype(ln_b.dtype),
+        dqkv_w.astype(qkv_w.dtype),
+        dqkv_b.reshape(-1).astype(qkv_b.dtype) if qkv_b is not None else None,
+        dproj_w.astype(proj_w.dtype),
+        dproj_b.reshape(-1).astype(proj_b.dtype),
+        dbias.astype(bias.dtype),
+        None,  # mask: constant
+        dln2_s.reshape(-1).astype(ln2_s.dtype),
+        dln2_b.reshape(-1).astype(ln2_b.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(-1).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(-1).astype(b2.dtype),
+    )
+
+
+folded_full_block_trainable.defvjp(_full_fwd, _full_bwd)

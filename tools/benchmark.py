@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--attn-kernel", default="base",
+        choices=("base", "packed", "fold", "fold_block"),
+    )
     args = ap.parse_args()
 
     from vadcl_tpu.models.cluster_heads import FeatureClusterHead, SpaceClusterHead
@@ -74,11 +78,12 @@ def main():
     d0 = jnp.asarray(rng.rand(B, 1, 28, 28, 192), dt)
     d1 = jnp.asarray(rng.rand(B, 1, 56, 56, 96), dt)
     f = args.fused
+    ak = args.attn_kernel
 
     bench_module("patch_embed", PatchEmbed3D(dtype=dt), clip, K)
     bench_module(
         "enc stage0 (3 blocks)",
-        SwinStage(dim=96, depth=3, num_heads=6, fused=f, dtype=dt), x0, K,
+        SwinStage(dim=96, depth=3, num_heads=6, fused=f, attn_kernel=ak, dtype=dt), x0, K,
     )
     bench_module(
         "enc inception0",
@@ -86,7 +91,7 @@ def main():
     )
     bench_module(
         "enc stage1 (6 blocks)",
-        SwinStage(dim=192, depth=6, num_heads=12, fused=f, dtype=dt), x1, K,
+        SwinStage(dim=192, depth=6, num_heads=12, fused=f, attn_kernel=ak, dtype=dt), x1, K,
     )
     bench_module(
         "enc inception1",
@@ -96,11 +101,11 @@ def main():
     bench_module("space_cluster (xla)", SpaceClusterHead(), x1, K)
     bench_module(
         "dec stage0 (6 blocks)",
-        SwinStage(dim=192, depth=6, num_heads=12, fused=f, dtype=dt), d0, K,
+        SwinStage(dim=192, depth=6, num_heads=12, fused=f, attn_kernel=ak, dtype=dt), d0, K,
     )
     bench_module(
         "dec stage1 (3 blocks)",
-        SwinStage(dim=96, depth=3, num_heads=6, fused=f, dtype=dt), d1, K,
+        SwinStage(dim=96, depth=3, num_heads=6, fused=f, attn_kernel=ak, dtype=dt), d1, K,
     )
     bench_module("patchdebed", PatchDebed3D(dtype=dt), d1, K)
 

@@ -90,6 +90,35 @@ def eval_input_frames(
     return None
 
 
+def window_score_fn(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    predict: bool,
+    first_frame_quirk: bool = False,
+    input_frames: Optional[int] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """The pure window-scoring math, jit/export-ready: (B, frame_num, H, W, C)
+    uint8 or float windows -> per-window MSE (B,) in predict mode or
+    per-frame (B, frame_num) in recon mode.  Shared by the eval scorers below
+    and the serving exporter (vadcl_tpu/serve)."""
+
+    def score(clips: jax.Array) -> jax.Array:
+        if clips.dtype == jnp.uint8:
+            clips = clips.astype(jnp.float32) / 255.0
+        inputs = clips[:, :input_frames] if input_frames is not None else clips
+        recon = apply_fn(inputs).astype(jnp.float32)
+        clips32 = clips.astype(jnp.float32)
+        if predict:
+            target = (
+                clips32[:, 0:1] if first_frame_quirk else clips32[:, -1:]
+            )
+            err = (recon - target) ** 2
+            return jnp.mean(err, axis=(1, 2, 3, 4))
+        err = (recon - clips32) ** 2
+        return jnp.mean(err, axis=(2, 3, 4))
+
+    return score
+
+
 def make_window_scorer(
     apply_fn: Callable[[jax.Array], jax.Array],
     frame_num: int,
@@ -128,21 +157,15 @@ def make_window_scorer(
     else:
         jit_kwargs = {}
 
-    @partial(jax.jit, **jit_kwargs)
-    def score(clips: jax.Array) -> jax.Array:
-        if clips.dtype == jnp.uint8:
-            clips = clips.astype(jnp.float32) / 255.0
-        inputs = clips[:, :input_frames] if input_frames is not None else clips
-        recon = apply_fn(inputs).astype(jnp.float32)
-        clips32 = clips.astype(jnp.float32)
-        if predict:
-            target = (
-                clips32[:, 0:1] if first_frame_quirk else clips32[:, -1:]
-            )
-            err = (recon - target) ** 2
-            return jnp.mean(err, axis=(1, 2, 3, 4))
-        err = (recon - clips32) ** 2
-        return jnp.mean(err, axis=(2, 3, 4))
+    score = jax.jit(
+        window_score_fn(
+            apply_fn,
+            predict=predict,
+            first_frame_quirk=first_frame_quirk,
+            input_frames=input_frames,
+        ),
+        **jit_kwargs,
+    )
 
     def run(windows: np.ndarray) -> np.ndarray:
         n = windows.shape[0]

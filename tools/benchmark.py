@@ -27,18 +27,45 @@ import numpy as np
 from jax import lax
 
 
-def bench_module(name, module, x, iters, method=None):
+def bench_module(name, module, x, iters, method=None, grad=False):
+    """Time forward (default) or forward+backward (``grad=True``, closing
+    over params so the VJP covers both input and weight cotangents —
+    the same work the train step pays per component)."""
     v = jax.jit(module.init)(jax.random.key(0), x)
 
-    @jax.jit
-    def rep(v, x):
-        def body(i, carry):
-            x0, acc = carry
-            out = module.apply(v, x0 + acc * jnp.asarray(1e-18, x0.dtype))
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return (x0, jnp.sum(leaf).astype(x0.dtype))
+    if grad:
 
-        return lax.fori_loop(0, iters, body, (x, jnp.zeros((), x.dtype)))[1]
+        def loss(v_, x0):
+            out = module.apply(v_, x0)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.sum(leaf.astype(jnp.float32))
+
+        vg = jax.value_and_grad(loss)
+
+        @jax.jit
+        def rep(v, x):
+            def body(i, carry):
+                x0, acc = carry
+                val, g = vg(v, x0 + acc * jnp.asarray(1e-18, x0.dtype))
+                gleaf = jax.tree_util.tree_leaves(g)[0]
+                return (
+                    x0,
+                    (val + jnp.sum(gleaf.astype(jnp.float32))).astype(x0.dtype),
+                )
+
+            return lax.fori_loop(0, iters, body, (x, jnp.zeros((), x.dtype)))[1]
+
+    else:
+
+        @jax.jit
+        def rep(v, x):
+            def body(i, carry):
+                x0, acc = carry
+                out = module.apply(v, x0 + acc * jnp.asarray(1e-18, x0.dtype))
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return (x0, jnp.sum(leaf).astype(x0.dtype))
+
+            return lax.fori_loop(0, iters, body, (x, jnp.zeros((), x.dtype)))[1]
 
     out = rep(v, x)
     jax.block_until_ready(out)  # compile + warm
@@ -61,6 +88,8 @@ def main():
         "--attn-kernel", default="base",
         choices=("base", "packed", "fold", "fold_block"),
     )
+    ap.add_argument("--grad", action="store_true",
+                    help="time forward+backward per component")
     args = ap.parse_args()
 
     from vadcl_tpu.models.cluster_heads import FeatureClusterHead, SpaceClusterHead
@@ -80,34 +109,34 @@ def main():
     f = args.fused
     ak = args.attn_kernel
 
-    bench_module("patch_embed", PatchEmbed3D(dtype=dt), clip, K)
+    bench_module("patch_embed", PatchEmbed3D(dtype=dt), clip, K, grad=args.grad)
     bench_module(
         "enc stage0 (3 blocks)",
-        SwinStage(dim=96, depth=3, num_heads=6, fused=f, attn_kernel=ak, dtype=dt), x0, K,
+        SwinStage(dim=96, depth=3, num_heads=6, fused=f, attn_kernel=ak, dtype=dt), x0, K, grad=args.grad,
     )
     bench_module(
         "enc inception0",
-        InceptionModule(out_channels=inception_channels(96), dtype=dt), x0, K,
+        InceptionModule(out_channels=inception_channels(96), dtype=dt), x0, K, grad=args.grad,
     )
     bench_module(
         "enc stage1 (6 blocks)",
-        SwinStage(dim=192, depth=6, num_heads=12, fused=f, attn_kernel=ak, dtype=dt), x1, K,
+        SwinStage(dim=192, depth=6, num_heads=12, fused=f, attn_kernel=ak, dtype=dt), x1, K, grad=args.grad,
     )
     bench_module(
         "enc inception1",
-        InceptionModule(out_channels=inception_channels(192), dtype=dt), x1, K,
+        InceptionModule(out_channels=inception_channels(192), dtype=dt), x1, K, grad=args.grad,
     )
-    bench_module("feature_cluster (xla)", FeatureClusterHead(), x1, K)
-    bench_module("space_cluster (xla)", SpaceClusterHead(), x1, K)
+    bench_module("feature_cluster (xla)", FeatureClusterHead(), x1, K, grad=args.grad)
+    bench_module("space_cluster (xla)", SpaceClusterHead(), x1, K, grad=args.grad)
     bench_module(
         "dec stage0 (6 blocks)",
-        SwinStage(dim=192, depth=6, num_heads=12, fused=f, attn_kernel=ak, dtype=dt), d0, K,
+        SwinStage(dim=192, depth=6, num_heads=12, fused=f, attn_kernel=ak, dtype=dt), d0, K, grad=args.grad,
     )
     bench_module(
         "dec stage1 (3 blocks)",
-        SwinStage(dim=96, depth=3, num_heads=6, fused=f, attn_kernel=ak, dtype=dt), d1, K,
+        SwinStage(dim=96, depth=3, num_heads=6, fused=f, attn_kernel=ak, dtype=dt), d1, K, grad=args.grad,
     )
-    bench_module("patchdebed", PatchDebed3D(dtype=dt), d1, K)
+    bench_module("patchdebed", PatchDebed3D(dtype=dt), d1, K, grad=args.grad)
 
 
 if __name__ == "__main__":

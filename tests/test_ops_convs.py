@@ -110,3 +110,56 @@ def test_unpatchify_matmul_equals_conv_transpose3d():
     want = np.asarray(conv_transpose3d(x, w, b, stride=(2, 2, 2)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "shape,kernel,stride,padding",
+    [
+        ((2, 1, 8, 8, 6), (3, 2, 2), (1, 2, 2), (1, 0, 0)),  # PatchDebed D=1
+        ((2, 4, 8, 8, 6), (3, 2, 2), (1, 2, 2), (1, 0, 0)),  # recon mode D=4
+        ((2, 2, 7, 5, 4), (1, 2, 2), (1, 2, 2), (0, 0, 0)),  # UpSampling
+        ((1, 3, 6, 6, 5), (2, 3, 3), (1, 3, 3), (0, 0, 0)),  # generic k_d=2
+    ],
+)
+def test_conv_transpose3d_subpixel_equals_dilated(shape, kernel, stride, padding):
+    """The pixel-shuffle decomposition is bit-level-equal math (fp32 noise
+    only) to the generic lhs-dilated lowering, forward and backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from vadcl_tpu.ops.convs import (
+        conv_transpose3d_subpixel,
+        subpixel_applicable,
+    )
+
+    assert subpixel_applicable(kernel, stride, padding)
+    x = _rand(*shape)
+    w = _rand(*kernel, shape[-1], 7)
+    b = _rand(7)
+    got = np.asarray(
+        conv_transpose3d_subpixel(x, w, b, stride=stride, padding=padding)
+    )
+    want = np.asarray(
+        conv_transpose3d(x, w, b, stride=stride, padding=padding)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def loss(fn, w_):
+        return jnp.sum(fn(x, w_, None, stride, padding) ** 2)
+
+    g_sub = np.asarray(
+        jax.grad(lambda w_: loss(conv_transpose3d_subpixel, w_))(jnp.asarray(w))
+    )
+    g_dil = np.asarray(
+        jax.grad(lambda w_: loss(conv_transpose3d, w_))(jnp.asarray(w))
+    )
+    np.testing.assert_allclose(g_sub, g_dil, rtol=2e-3, atol=2e-3)
+
+
+def test_subpixel_applicable_gate():
+    from vadcl_tpu.ops.convs import subpixel_applicable
+
+    assert not subpixel_applicable((2, 1, 1), (2, 1, 1), (0, 0, 0))  # s_d=2
+    assert not subpixel_applicable((3, 3, 2), (1, 2, 2), (1, 0, 0))  # k_h!=s_h
+    assert not subpixel_applicable((3, 2, 2), (1, 2, 2), (1, 1, 0))  # pad_h

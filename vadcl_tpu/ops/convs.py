@@ -95,6 +95,61 @@ def conv_transpose3d(
     return out
 
 
+def subpixel_applicable(
+    kernel: Sequence[int], stride: Sequence[int], padding: Sequence[int]
+) -> bool:
+    """True when ``conv_transpose3d_subpixel`` computes the identical result:
+    unit temporal stride, spatial kernel == spatial stride, zero spatial
+    padding — every output pixel then receives exactly ONE spatial tap."""
+    k, s, p = _triple(kernel), _triple(stride), _triple(padding)
+    return s[0] == 1 and k[1] == s[1] and k[2] == s[2] and p[1] == p[2] == 0
+
+
+def conv_transpose3d_subpixel(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: IntOr3 = 1,
+    padding: IntOr3 = 0,
+) -> jax.Array:
+    """ConvTranspose3d as dense conv + pixel shuffle (exact, fewer FLOPs).
+
+    The generic lowering (``conv_transpose3d``) dilates the input with zeros
+    and convolves the full k_h x k_w spatial window — at the flagship's
+    (3,2,2)/(1,2,2) decoder deconvs (``model/swin_decoder_predict.py:
+    381-427,431-443`` equivalents) 3 of every 4 spatial taps are zeros the
+    MXU still multiplies.  When ``subpixel_applicable`` holds, output pixel
+    (s_h*h + r_h, s_w*w + r_w) receives exactly one spatial tap, so the op
+    equals a stride-1 conv with kernel (kd, 1, 1) and s_h*s_w*Cout fused
+    output channels followed by a space interleave: 4x fewer conv FLOPs and
+    a fatter, MXU-friendlier contraction.  Bit-exact same math (the VJP is
+    plain XLA autodiff of conv+reshape, so training matches too).
+    """
+    s = _triple(stride)
+    p = _triple(padding)
+    kd, kh, kw, cin, cout = w.shape
+    assert subpixel_applicable((kd, kh, kw), s, p), (w.shape, s, p)
+    # temporal convT at s_d=1 == correlation with the kd-flipped kernel and
+    # symmetric padding (kd - 1 - p_d); spatial taps index by output parity
+    w2 = jnp.flip(w, axis=0).transpose(0, 3, 1, 2, 4)  # (kd, ci, kh, kw, co)
+    w2 = w2.reshape(kd, 1, 1, cin, kh * kw * cout)
+    out = lax.conv_general_dilated(
+        x,
+        w2.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=[(kd - 1 - p[0],) * 2, (0, 0), (0, 0)],
+        dimension_numbers=_DN,
+    )
+    B, D, H, W, _ = out.shape
+    out = out.reshape(B, D, H, W, kh, kw, cout)
+    out = out.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        B, D, H * kh, W * kw, cout
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def patchify_matmul(
     x: jax.Array,
     w: jax.Array,

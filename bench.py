@@ -16,6 +16,12 @@ step (forward + backward + torch-Adam + staged gates) built by
 ``vadcl_tpu.train.step.make_train_step`` — the same function tools/train.py
 runs.
 
+Methodology: steady-state loops run ON DEVICE (``lax.fori_loop`` with a
+carried data dependence between iterations) so one tunnel dispatch covers the
+whole measurement and per-call round-trips are not billed to the model;
+best-of-3 repeats; measurement is gated on a same-run chip calibration
+(shared-chip contention — see ``main``).
+
 FLOPs come from XLA's HLO cost analysis of the lowered programs
 (vadcl_tpu/utils/flops.py), cached in ``.bench_flops.json``; MFU divides
 achieved FLOP/s by the chip's published bf16 peak.
@@ -56,6 +62,12 @@ def _fused() -> bool:
     import jax
 
     return jax.default_backend() != "cpu"
+
+
+# VADCL_BENCH_SMOKE=1: tiny batches/iters so the full bench harness can be
+# exercised end-to-end on CPU in CI — validates the measurement plumbing,
+# NOT a performance number.
+_SMOKE = os.environ.get("VADCL_BENCH_SMOKE", "") == "1"
 
 
 def compute_flops_cpu() -> dict:
@@ -276,42 +288,44 @@ def measure_inference(attn_kernel: str = "base"):
     model = VADModel(config=cfg.model, dtype=dtype)
     rng = np.random.RandomState(0)
 
-    def make_score(variables):
-        @jax.jit
-        def score(variables, clips, carry):
-            # `carry` (previous iteration's result) is folded into the input
-            # with a non-zero coefficient so XLA CANNOT sever the data
-            # dependency (x + 0*c folds to x and lets remote-execution
-            # tunnels memoize identical requests — measured 8x above
-            # hardware peak before this fix).  1e-18 is numerically inert.
-            clips = clips + carry * jnp.float32(1e-18)
-            out = model.apply(variables, clips)
-            err = (
-                out.recon.astype(jnp.float32)
-                - clips[:, -1:].astype(jnp.float32)
-            ) ** 2
-            return jnp.mean(err, axis=(1, 2, 3, 4))
-
-        return score
+    from jax import lax
 
     best = 0.0
     # batch sweep: {32..256} was measured on-chip (round 3) — throughput
     # peaks at 128 (96: 594, 128: 633, 160: 545, 192: 553, 256: 594 clips/s);
     # the bench keeps the two contenders to bound driver runtime.
-    for batch in (64, 128):
+    for batch in (2,) if _SMOKE else (64, 128):
         clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
         variables = jax.jit(model.init)(jax.random.key(0), clips[:1])
-        score = make_score(variables)
+        iters = 2 if _SMOKE else 20
 
-        out = score(variables, clips, jnp.zeros((), jnp.float32))
+        # steady-state loop ON DEVICE (lax.fori_loop): one dispatch per
+        # measurement, so the remote tunnel's per-call round-trip is not
+        # billed to the model.  The carried scalar perturbs the next
+        # iteration's input with a non-zero coefficient so XLA cannot sever
+        # the inter-iteration data dependence (x + 0*c folds to x and lets
+        # remote-execution tunnels memoize identical requests — measured 8x
+        # above hardware peak before this guard).  1e-18 is numerically inert.
+        @jax.jit
+        def score_loop(variables, clips):
+            def body(i, c):
+                clip_i = clips + c * jnp.float32(1e-18)
+                out = model.apply(variables, clip_i)
+                err = (
+                    out.recon.astype(jnp.float32)
+                    - clip_i[:, -1:].astype(jnp.float32)
+                ) ** 2
+                return jnp.sum(jnp.mean(err, axis=(1, 2, 3, 4)))
+
+            return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+        out = score_loop(variables, clips)
         jax.block_until_ready(out)  # compile + warm
         rate = 0.0
-        for _ in range(2):  # best-of-2 repeats (tunnel first-call jitter)
-            iters = 20
+        for _ in range(3):  # best-of-3 (shared-chip contention jitter)
             t0 = time.time()
-            for _ in range(iters):
-                out = score(variables, clips, jnp.sum(out))
-            np.asarray(out)  # host readback forces real completion
+            out = score_loop(variables, clips)
+            float(np.asarray(out))  # host readback forces real completion
             dt = (time.time() - t0) / iters
             rate = max(rate, batch / dt)
         best = max(best, rate)
@@ -338,7 +352,8 @@ def measure_eval_protocol(attn_kernel: str = "base"):
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     model = VADModel(config=cfg.model, dtype=dtype)
     rng = np.random.RandomState(3)
-    frames = (rng.rand(256 + FRAMES, H, W, 3) * 255).astype(np.uint8)
+    n_frames = 8 if _SMOKE else 256
+    frames = (rng.rand(n_frames + FRAMES, H, W, 3) * 255).astype(np.uint8)
     starts = sliding_windows(frames.shape[0], FRAMES, "stride1")
 
     clips0 = jnp.zeros((1, FRAMES, H, W, 3), jnp.float32)
@@ -348,7 +363,7 @@ def measure_eval_protocol(attn_kernel: str = "base"):
         return model.apply(variables, clips).recon
 
     best, best_batch = 0.0, 0
-    for bw in (32, 64, 128):
+    for bw in (4,) if _SMOKE else (32, 64, 128):
         scorer = make_video_scorer(
             apply_fn,
             frame_num=FRAMES,
@@ -358,7 +373,7 @@ def measure_eval_protocol(attn_kernel: str = "base"):
         )
         out = scorer(frames, starts)  # compile + warm
         rate = 0.0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             out = scorer(frames, starts)
             dt = time.time() - t0
@@ -384,28 +399,38 @@ def measure_train(attn_kernel: str = "base"):
     rng = np.random.RandomState(1)
 
     best = 0.0
-    for batch in (32, 64):
+    for batch in (2,) if _SMOKE else (32, 64):
         clips = jnp.asarray(rng.rand(batch, FRAMES, H, W, 3), jnp.float32)
         state, tx = create_train_state(
             model, cfg, jax.random.key(0), clips[:1], steps_per_epoch=100
         )
         step = make_train_step(model, cfg, tx, steps_per_epoch=100)
 
+        iters = 2 if _SMOKE else 10
+
+        # N steps per dispatch via lax.fori_loop: the tunnel round-trip is
+        # paid once per measurement, not per step.  The carried TrainState
+        # evolves every iteration (params/opt-state feed the next step), so
+        # the loop has a genuine data dependence XLA cannot elide.
+        from jax import lax
+
+        @jax.jit
+        def train_loop(state, clips):
+            return lax.fori_loop(
+                0, iters, lambda i, st: step(st, clips)[0], state
+            )
+
         try:
-            state, metrics = step(state, clips)
+            state = train_loop(state, clips)
             jax.block_until_ready(state.params)  # compile + warm
         except Exception as e:  # e.g. HBM OOM at the larger batch
             print(f"train batch {batch} failed: {e!r}"[:200], file=sys.stderr)
             continue
         rate = 0.0
-        for _ in range(2):
-            iters = 10
+        for _ in range(3):
             t0 = time.time()
-            for _ in range(iters):
-                # params evolve every step: genuine inter-request data
-                # dependence, so the remote tunnel cannot memoize.
-                state, metrics = step(state, clips)
-            np.asarray(metrics.loss)
+            state = train_loop(state, clips)
+            jax.block_until_ready(state.params)
             dt = (time.time() - t0) / iters
             rate = max(rate, batch / dt)
         best = max(best, rate)
@@ -468,6 +493,29 @@ def measure_chip_calibration():
 def main():
     from vadcl_tpu.utils.flops import device_peak_tflops, mfu_pct
 
+    # Calibrate FIRST and gate on contention: the axon tunnel chip is shared
+    # infrastructure whose delivered matmul rate swings 43-117 TFLOP/s with
+    # neighbors' workloads.  When the same-run calibration shows the chip
+    # below 55 TFLOP/s, wait and re-calibrate (up to 3 min) so the bench
+    # measures this framework, not a neighbor's job.  The final calibration
+    # and the wait count ride in the JSON for auditability.
+    contention_waits = 0
+    calib = {}
+    if not _SMOKE:
+        try:
+            calib = measure_chip_calibration()
+            while (
+                _fused()  # contention gate only applies to the shared chip
+                and calib.get("chip_matmul_tflops", 1e9) < 55
+                and contention_waits < 3
+            ):
+                contention_waits += 1
+                time.sleep(60)
+                calib = measure_chip_calibration()
+        except Exception as e:
+            print(f"chip calibration failed: {e!r}", file=sys.stderr)
+            calib = {}
+
     try:
         attn_kernel = pick_attn_kernel()
     except Exception as e:
@@ -501,11 +549,6 @@ def main():
     except Exception as e:
         print(f"eval-protocol bench failed: {e!r}", file=sys.stderr)
         eval_rate, eval_bw = float("nan"), 0
-    try:
-        calib = measure_chip_calibration()
-    except Exception as e:
-        print(f"chip calibration failed: {e!r}", file=sys.stderr)
-        calib = {}
 
     def r(x, nd=2):
         return round(x, nd) if isinstance(x, float) and x == x else None
@@ -530,6 +573,7 @@ def main():
                 "peak_tflops": peak,
                 "chip_matmul_tflops": r(calib.get("chip_matmul_tflops")),
                 "chip_copy_gbps": r(calib.get("chip_copy_gbps")),
+                "contention_waits": contention_waits,
                 "baseline_basis": _BASELINE_BASIS,
             }
         )

@@ -186,3 +186,35 @@ def test_export_cli_check(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "reload check" in out.stdout
+
+
+def test_dynamic_batch_artifact(tmp_path, apply_fn):
+    """batch_windows=None exports a symbolic batch dim: one artifact, any
+    batch size, numerics equal to the live model."""
+    blob, meta = export_window_scorer(
+        apply_fn,
+        batch_windows=None,
+        frame_num=4,
+        image_size=(56, 56),
+        predict=True,
+        input_frames=4,
+        platforms=("cpu",),
+    )
+    assert meta["batch_windows"] is None
+    assert meta["out_shape"] == [["b"]]
+    path = str(tmp_path / "dyn")
+    save_artifact(path, blob, meta)
+    art = load_artifact(path)
+    assert art.batch_windows is None
+    run = artifact_window_runner(art)
+
+    from vadcl_tpu.eval.predict import window_score_fn
+
+    live = window_score_fn(apply_fn, predict=True, input_frames=4)
+    rng = np.random.RandomState(2)
+    for n in (1, 5):
+        windows = rng.randint(0, 256, (n, 4, 56, 56, 3), dtype=np.uint8)
+        got = run(windows)
+        want = np.asarray(live(jnp.asarray(windows)))
+        assert got.shape == (n,)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)

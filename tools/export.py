@@ -41,7 +41,8 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--predict", action="store_true")
     ap.add_argument("--first-frame-quirk", action="store_true")
-    ap.add_argument("--batch-windows", type=int, default=64)
+    ap.add_argument("--batch-windows", type=int, default=64,
+                    help="0 = dynamic batch (symbolic dim; pure-XLA path only)")
     ap.add_argument("--frame-num", type=int, default=4)
     ap.add_argument("--image-size", type=int, default=0)
     ap.add_argument("--backbone", default="swin",
@@ -115,7 +116,7 @@ def main():
     )
     blob, meta = export_window_scorer(
         apply_fn,
-        batch_windows=args.batch_windows,
+        batch_windows=args.batch_windows or None,
         frame_num=args.frame_num,
         image_size=cfg.data.image_size,
         predict=predict,
@@ -129,7 +130,7 @@ def main():
     print(
         f"exported {len(blob) / 1e6:.1f} MB artifact -> {args.out} "
         f"(platforms {meta['platforms']}, "
-        f"input {meta['batch_windows']}x{meta['frame_num']}x"
+        f"input {meta['batch_windows'] or 'dyn'}x{meta['frame_num']}x"
         f"{meta['image_size'][0]}x{meta['image_size'][1]}x{meta['channels']} "
         f"{meta['input_dtype']})"
     )
@@ -139,7 +140,7 @@ def main():
         rng = np.random.RandomState(0)
         windows = rng.randint(
             0, 256,
-            (args.batch_windows, args.frame_num, *cfg.data.image_size, 3),
+            (args.batch_windows or 2, args.frame_num, *cfg.data.image_size, 3),
             dtype=np.uint8,
         )
         got = np.asarray(art.score(windows))

@@ -35,10 +35,13 @@ _META = "meta.json"
 
 
 class ServingArtifact(NamedTuple):
-    """A reloaded scorer: ``score`` runs the deserialized program under jit."""
+    """A reloaded scorer: ``score`` runs the deserialized program under jit.
+
+    ``batch_windows`` is None for dynamic-batch artifacts (symbolic batch
+    dim): ``score`` then accepts any leading batch size."""
 
     score: Callable[[jax.Array], jax.Array]
-    batch_windows: int
+    batch_windows: Optional[int]
     frame_num: int
     image_size: Tuple[int, int]
     channels: int
@@ -51,7 +54,7 @@ class ServingArtifact(NamedTuple):
 def export_window_scorer(
     apply_fn: Callable[[jax.Array], jax.Array],
     *,
-    batch_windows: int,
+    batch_windows: Optional[int],
     frame_num: int,
     image_size: Tuple[int, int],
     channels: int = 3,
@@ -68,6 +71,11 @@ def export_window_scorer(
     session's backend platform; pass e.g. ("tpu", "cpu") for a multi-platform
     artifact (only pure-XLA paths lower on both — export with
     ``fused_attention=False`` for a CPU-loadable artifact).
+
+    ``batch_windows=None`` exports a DYNAMIC batch dimension
+    (``jax.export.symbolic_shape``): the artifact then scores any batch size
+    without re-export.  Requires the pure-XLA model path (the Pallas kernels
+    need static grids — export with ``fused_attention=False``).
     """
     score = window_score_fn(
         apply_fn,
@@ -76,8 +84,13 @@ def export_window_scorer(
         input_frames=input_frames,
     )
     h, w = image_size
+    batch_dim = (
+        jax_export.symbolic_shape("b")[0]
+        if batch_windows is None
+        else batch_windows
+    )
     spec = jax.ShapeDtypeStruct(
-        (batch_windows, frame_num, h, w, channels), jnp.dtype(input_dtype)
+        (batch_dim, frame_num, h, w, channels), jnp.dtype(input_dtype)
     )
     kwargs = {}
     if platforms is not None:
@@ -96,7 +109,10 @@ def export_window_scorer(
         "predict": predict,
         "first_frame_quirk": first_frame_quirk,
         "input_frames": input_frames,
-        "out_shape": [list(a.shape) for a in exported.out_avals],
+        "out_shape": [
+            [d if isinstance(d, int) else str(d) for d in a.shape]
+            for a in exported.out_avals
+        ],
     }
     return bytes(blob), meta
 
@@ -122,9 +138,10 @@ def load_artifact(path: str) -> ServingArtifact:
         meta = json.load(f)
     exported = jax_export.deserialize(bytearray(blob))
     call = jax.jit(exported.call)
+    bw = meta["batch_windows"]
     return ServingArtifact(
         score=call,
-        batch_windows=int(meta["batch_windows"]),
+        batch_windows=None if bw is None else int(bw),
         frame_num=int(meta["frame_num"]),
         image_size=tuple(meta["image_size"]),
         channels=int(meta["channels"]),
@@ -140,10 +157,13 @@ def artifact_window_runner(
 ) -> Callable[[np.ndarray], np.ndarray]:
     """Wrap a loaded artifact as a padded any-length window scorer (the same
     contract as ``make_window_scorer``'s runner): (N, frame_num, H, W, C)
-    numpy -> (N,) / (N, frame_num) scores, padding the tail batch."""
+    numpy -> (N,) / (N, frame_num) scores, padding the tail batch.  For
+    dynamic-batch artifacts the input goes through in one call, unpadded."""
     bw = art.batch_windows
 
     def run(windows: np.ndarray) -> np.ndarray:
+        if bw is None:  # dynamic batch: one shot, no padding
+            return np.asarray(art.score(windows))
         n = windows.shape[0]
         pad = (-n) % bw
         if pad:

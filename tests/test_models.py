@@ -160,3 +160,37 @@ def test_convae_predict_shapes():
     vars_ = jax.jit(net.init)(jax.random.key(0), x)
     out, _ = jax.jit(lambda v, a: net.apply(v, a, train=False, mutable=["memory"]))(vars_, x)
     assert out.recon.shape == (1, 1, 32, 32, 3)
+
+
+def test_subpixel_deconv_flag_is_param_neutral_and_equal():
+    """ModelConfig.subpixel_deconv reroutes the decoder deconvs through the
+    pixel-shuffle decomposition: identical variable tree, equal recon in
+    both predict (D=1 head) and reconstruction (D=4) modes."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vadcl_tpu.core.config import preset
+    from vadcl_tpu.models.backbone import VADModel
+
+    base = preset("shanghaitech").model
+    small = dataclasses.replace(
+        base,
+        predict=True,
+        cluster=dataclasses.replace(
+            base.cluster, space_size=7, feature_clusters=16, space_clusters=8
+        ),
+    )
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 56, 56, 3), jnp.float32)
+    for predict in (True, False):
+        cfg0 = dataclasses.replace(small, predict=predict)
+        cfg1 = dataclasses.replace(cfg0, subpixel_deconv=True)
+        m0 = VADModel(config=cfg0, dtype=jnp.float32)
+        m1 = VADModel(config=cfg1, dtype=jnp.float32)
+        v = jax.jit(m0.init)(jax.random.key(0), x)
+        # same variables load into both graphs (param-tree neutrality)
+        r0 = np.asarray(m0.apply(v, x).recon)
+        r1 = np.asarray(m1.apply(v, x).recon)
+        np.testing.assert_allclose(r0, r1, rtol=1e-5, atol=1e-5)

@@ -75,6 +75,11 @@ class ModelConfig:
     # two-kernel split on v5e, kept for A/B and future chips).
     # bench.py auto-picks per same-run chip calibration.
     attn_kernel: str = "base"
+    # decoder transposed convs as dense-conv + pixel shuffle where exact
+    # (ops/convs.conv_transpose3d_subpixel): same math, 4x fewer conv FLOPs
+    # than the lhs-dilated lowering IF the TPU conv emitter multiplies the
+    # zero taps — measurement-gated, hence opt-in.
+    subpixel_deconv: bool = False
     # memory-augmented alternates (reference model/Memory.py:63, conv_mae/*)
     memory_size: int = 10
     memory_dim: int = 512

@@ -164,6 +164,7 @@ class VADModel(nn.Module):
             remat=cfg.remat,
             fused_attention=cfg.fused_attention,
             attn_kernel=cfg.attn_kernel,
+            subpixel_deconv=cfg.subpixel_deconv,
             dtype=self.dtype,
             name="decoder",
         )(x, deterministic)

@@ -39,6 +39,7 @@ class UpSampling(nn.Module):
     (``model/swin_decoder_predict.py:431-443``)."""
 
     dim: int
+    subpixel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -47,6 +48,7 @@ class UpSampling(nn.Module):
             self.dim // 2,
             kernel_size=(1, 2, 2),
             stride=(1, 2, 2),
+            subpixel=self.subpixel,
             dtype=self.dtype,
             name="proj",
         )(x)
@@ -58,13 +60,14 @@ class PatchDebed3D(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     out_channels: int = 3
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         x = ConvTranspose3d(
             2 * c, (3, 2, 2), stride=(1, 2, 2), padding=(1, 0, 0),
-            dtype=self.dtype, name="deconv1",
+            subpixel=self.subpixel, dtype=self.dtype, name="deconv1",
         )(x)
         x = gelu(x)
         x = Conv3d(
@@ -74,7 +77,7 @@ class PatchDebed3D(nn.Module):
         x = gelu(x)
         x = ConvTranspose3d(
             self.out_channels, (3, 2, 2), stride=(1, 2, 2), padding=(1, 0, 0),
-            dtype=self.dtype, name="deconv2",
+            subpixel=self.subpixel, dtype=self.dtype, name="deconv2",
         )(x)
         return x
 
@@ -143,6 +146,7 @@ class SwinDecoder3D(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     attn_kernel: str = "base"
+    subpixel_deconv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -196,10 +200,14 @@ class SwinDecoder3D(nn.Module):
             # fusion identical to the encoder (swin_decoder_predict.py:616-619)
             x = attn_x + conv_x * attn_x + x
             if i < num_layers - 1:
-                x = UpSampling(dim, dtype=self.dtype, name=f"upsample{i}")(x)
+                x = UpSampling(
+                    dim, subpixel=self.subpixel_deconv,
+                    dtype=self.dtype, name=f"upsample{i}",
+                )(x)
 
         x = layer_norm(dtype=self.dtype, name="norm")(x)
         x = PatchDebed3D(
-            dtype=self.dtype, out_channels=self.out_channels, name="patchdebed"
+            dtype=self.dtype, out_channels=self.out_channels,
+            subpixel=self.subpixel_deconv, name="patchdebed",
         )(x)
         return x

@@ -22,8 +22,10 @@ import jax.numpy as jnp
 from vadcl_tpu.ops.convs import (
     conv3d,
     conv_transpose3d,
+    conv_transpose3d_subpixel,
     max_pool3d_same,
     patchify_matmul,
+    subpixel_applicable,
     unpatchify_matmul,
 )
 
@@ -156,6 +158,9 @@ class ConvTranspose3d(nn.Module):
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: Tuple[int, int, int] = (0, 0, 0)
     use_bias: bool = True
+    # exact pixel-shuffle decomposition (ops/convs.conv_transpose3d_subpixel)
+    # when applicable; identical params/results, different op schedule
+    subpixel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -172,7 +177,13 @@ class ConvTranspose3d(nn.Module):
             if self.use_bias
             else None
         )
-        return conv_transpose3d(
+        fn = (
+            conv_transpose3d_subpixel
+            if self.subpixel
+            and subpixel_applicable(self.kernel_size, self.stride, self.padding)
+            else conv_transpose3d
+        )
+        return fn(
             x.astype(self.dtype), w, b, stride=self.stride, padding=self.padding
         )
 

@@ -56,6 +56,12 @@ def main():
                     choices=["swin", "unet3d", "convae", "convae_predict"])
     ap.add_argument("--fused", action="store_true",
                     help="fused Pallas attention (TPU)")
+    ap.add_argument(
+        "--attn-kernel", default="auto",
+        choices=["auto", "base", "packed", "fold", "fold_block"],
+        help="fused attention kernel. auto = 'fold' when --fused (in-kernel "
+        "partition/reverse/LN; fastest measured at flagship geometry).",
+    )
     ap.add_argument("--out", default="scores.npz")
     args = ap.parse_args()
 
@@ -79,10 +85,14 @@ def main():
 
     cfg = preset(args.preset)
     predict = args.predict or args.backbone == "convae_predict"
+    attn_kernel = args.attn_kernel
+    if attn_kernel == "auto":
+        attn_kernel = "fold" if args.fused else "base"
     cfg = cfg.replace(
         model=dataclasses.replace(
             cfg.model, predict=args.predict, backbone=args.backbone,
-            fused_attention=args.fused, fused_cluster=args.fused
+            fused_attention=args.fused, fused_cluster=args.fused,
+            attn_kernel=attn_kernel,
         )
     )
     if args.image_size:

@@ -109,6 +109,13 @@ def main():
         help="Pallas fused window-attention + cluster kernels. Default: on "
         "when running on TPU, off on CPU (where only interpret mode exists).",
     )
+    ap.add_argument(
+        "--attn-kernel", default="auto",
+        choices=["auto", "base", "fold", "fold_block"],
+        help="fused attention kernel variant (trainable ones only). auto = "
+        "'fold' when fused (partition/reverse/LN folded into the kernel, "
+        "measured 1.17-1.19x over 'base' at flagship geometry), else 'base'.",
+    )
     args = ap.parse_args()
 
     maybe_initialize_distributed()
@@ -117,6 +124,9 @@ def main():
         fused = jax.default_backend() not in ("cpu",)
     if fused and args.backbone != "swin":
         fused = False  # the fused kernels live in the Swin attention/cluster path
+    attn_kernel = args.attn_kernel
+    if attn_kernel == "auto":
+        attn_kernel = "fold" if fused else "base"
     cfg = preset(args.preset)
     cfg = cfg.replace(
         data=dataclasses.replace(
@@ -133,6 +143,7 @@ def main():
             use_cluster=not args.no_cluster,
             fused_attention=fused,
             fused_cluster=fused,
+            attn_kernel=attn_kernel,
         ),
         schedule=dataclasses.replace(
             cfg.schedule,

@@ -194,86 +194,12 @@ def _flagship_config(attn_kernel: str = "base"):
 
 
 def pick_attn_kernel() -> str:
-    """Measure the fused attention kernels at the stage-0 geometry on THIS
-    chip — each as its FULL block path (partition+kernel+reverse for the
-    windowed kernels, the un-partitioned tensor for the folded one) — and
-    pick the fastest for the inference bench.  The packed variant trades
-    ~2.8x padded FLOPs for ~6x fewer/fatter MXU ops; the folded variant
-    eliminates the partition/reverse HBM round-trips entirely.  Which side
-    wins depends on the chip's delivered matmul rate, observed to swing
-    53-117 TFLOP/s across sessions."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
+    """Per-session kernel pick: fresh measurement every bench run (benchmarks
+    must not trust caches).  Logic lives in ``vadcl_tpu.utils.autotune`` —
+    drivers use its cached ``tuned_attn_kernel`` via ``tools/autotune.py``."""
+    from vadcl_tpu.utils.autotune import pick_attn_kernel as _pick
 
-    from vadcl_tpu.ops.pallas_attn import (
-        fused_window_attention,
-        fused_window_attention_packed,
-    )
-    from vadcl_tpu.ops.pallas_attn_fold import fused_window_attention_folded
-    from vadcl_tpu.ops.window import window_partition, window_reverse
-
-    if jax.default_backend() == "cpu":
-        return "base"
-    rng = np.random.RandomState(5)
-    B, D, H, W, C, nH = 32, 2, 56, 56, 96, 6
-    window = (2, 7, 7)
-    n_windows = (D // 2) * (H // 7) * (W // 7)
-    x = jnp.asarray(rng.rand(B, D, H, W, C), jnp.bfloat16)
-    qkv_w = jnp.asarray(rng.randn(C, 3 * C) * 0.02, jnp.float32)
-    qkv_b = jnp.zeros((3 * C,), jnp.float32)
-    proj_w = jnp.asarray(rng.randn(C, C) * 0.02, jnp.float32)
-    proj_b = jnp.zeros((C,), jnp.float32)
-    N = window[0] * window[1] * window[2]
-    bias = jnp.asarray(rng.randn(nH, N, N) * 0.02, jnp.float32)
-    sc = (C // nH) ** -0.5
-
-    def timed(fn, iters=8):
-        jitted = jax.jit(
-            lambda a0: lax.fori_loop(
-                0, iters,
-                lambda i, c: (
-                    c[0],
-                    jnp.sum(
-                        fn(c[0] + c[1] * jnp.asarray(1e-18, c[0].dtype))
-                    ).astype(c[0].dtype),
-                ),
-                (a0, jnp.zeros((), a0.dtype)),
-            )[1]
-        )
-        out = jitted(x)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            out = jitted(x)
-            float(np.asarray(out.astype(jnp.float32)))
-            best = min(best, (time.time() - t0) / iters)
-        return best
-
-    def windowed(kernel):
-        def run(a):
-            aw = window_partition(a, window)
-            o = kernel(
-                aw, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH,
-                n_windows, sc,
-            )
-            return window_reverse(o, window, B, D, H, W)
-
-        return run
-
-    t_base = timed(windowed(fused_window_attention))
-    t_packed = timed(windowed(fused_window_attention_packed))
-    t_fold = timed(
-        lambda a: fused_window_attention_folded(
-            a, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH, window, sc
-        )
-    )
-    # require a clear (>5%) win before switching off the trainable default;
-    # between the two winners-over-base, take the faster
-    times = {"base": t_base, "packed": t_packed, "fold": t_fold}
-    best = min(times, key=times.get)
-    return best if times[best] < 0.95 * t_base else "base"
+    return _pick()
 
 
 def measure_inference(attn_kernel: str = "base"):

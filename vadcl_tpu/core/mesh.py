@@ -40,6 +40,24 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(
+    data: int,
+    model: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+) -> Mesh:
+    """2-D ``(data, model)`` mesh for combined data + tensor parallelism:
+    the batch shards over ``data`` and attention heads / MLP hidden width
+    shard over ``model`` (parallel/tp.py).  Device order keeps the model
+    axis innermost so its collectives ride the fastest ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    need = data * model
+    assert len(devices) >= need, (need, len(devices))
+    grid = np.asarray(devices[:need]).reshape(data, model)
+    return Mesh(grid, tuple(axis_names))
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Batch-leading sharding: replaces DistributedSampler rank slicing."""
     return NamedSharding(mesh, P(axis_name))

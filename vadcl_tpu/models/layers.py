@@ -57,6 +57,11 @@ class Mlp(nn.Module):
             dtype=self.dtype,
             name="fc1",
         )(x)
+        # model-axis parallelism: the 4x hidden width shards over the mesh's
+        # model axis when one is active (parallel/tp.py) — no-op otherwise
+        from vadcl_tpu.parallel.tp import shard_dim
+
+        x = shard_dim(x, -1)
         x = gelu(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         x = nn.Dense(

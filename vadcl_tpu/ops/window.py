@@ -163,13 +163,20 @@ def window_attention(
     if qkv_b is not None:
         qkv = qkv + qkv_b.astype(qkv.dtype)
     qkv = qkv.reshape(Bn, N, 3, num_heads, head_dim)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3) * jnp.asarray(scale, qkv.dtype)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)  # (Bn, nH, N, hd)
+    # model-axis (tensor) parallelism: heads shard over the mesh's model
+    # axis when one is active (parallel/tp.py) — no-op otherwise
+    from vadcl_tpu.parallel.tp import shard_dim
+
+    q = shard_dim(
+        qkv[:, :, 0].transpose(0, 2, 1, 3), 1
+    ) * jnp.asarray(scale, qkv.dtype)
+    k = shard_dim(qkv[:, :, 1].transpose(0, 2, 1, 3), 1)
+    v = shard_dim(qkv[:, :, 2].transpose(0, 2, 1, 3), 1)  # (Bn, nH, N, hd)
 
     attn = jnp.einsum(
         "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
     )  # (Bn, nH, N, N) fp32
+    attn = shard_dim(attn, 1)
 
     bias = bias_table[np.asarray(rel_index[:N, :N]).reshape(-1)]
     bias = bias.reshape(N, N, -1).transpose(2, 0, 1)  # (nH, N, N)
@@ -182,9 +189,12 @@ def window_attention(
         attn = attn.reshape(Bn, num_heads, N, N)
 
     attn = jax.nn.softmax(attn, axis=-1).astype(x_windows.dtype)
-    out = jnp.einsum(
-        "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
-    ).astype(x_windows.dtype)
+    out = shard_dim(
+        jnp.einsum(
+            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+        ).astype(x_windows.dtype),
+        1,
+    )
     out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
     out = out @ proj_w.astype(out.dtype)
     if proj_b is not None:

@@ -211,9 +211,29 @@ def make_train_step(
     tx,
     steps_per_epoch: int,
     mesh: Optional[Mesh] = None,
+    model_axis: Optional[str] = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, StepMetrics]]:
     """Build the jitted train step.  With a mesh, the clip batch is sharded
-    over 'data' and everything else replicated; XLA emits the grad all-reduce."""
+    over 'data' and everything else replicated; XLA emits the grad all-reduce.
+
+    ``model_axis`` names a second mesh axis to shard attention heads and the
+    MLP hidden width over (tensor parallelism, parallel/tp.py) — the mesh is
+    then 2-D ``(data, model_axis)`` and each data shard's forward/backward
+    splits across the model axis via GSPMD.  XLA-path only: the Pallas fused
+    kernels are single-device programs, so ``fused_attention`` must be off."""
+    if model_axis is not None:
+        if mesh is None or model_axis not in mesh.axis_names:
+            raise ValueError(
+                f"model_axis={model_axis!r} requires a mesh with that axis "
+                f"(got {mesh and mesh.axis_names})"
+            )
+        if cfg.model.fused_attention:
+            raise ValueError(
+                "model-axis parallelism runs the XLA attention path; "
+                "set fused_attention=False (pallas_call is opaque to GSPMD)"
+            )
+    from vadcl_tpu.parallel.tp import model_parallel
+
     loss_fn = make_loss_fn(
         model, cfg, return_recon=cfg.dump_every_iters > 0
     )
@@ -226,9 +246,15 @@ def make_train_step(
     )
 
     def step_fn(state: TrainState, clip: jax.Array):
-        (loss, (lp, lc, ls, new_extras, recon)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.extras, clip, state.step)
+        # the model-parallel context is entered INSIDE the jitted body so the
+        # sharding constraints are baked into this trace (no-op when
+        # model_axis is None)
+        with model_parallel(mesh, model_axis):
+            (loss, (lp, lc, ls, new_extras, recon)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state.extras, clip, state.step
+                )
+            )
         finite = jnp.isfinite(loss)
         if cfg.optim.clip_grad > 0:
             gnorm = optax_global_norm(grads)

@@ -245,3 +245,120 @@ def test_normalize_clip_exact():
     np.testing.assert_array_equal(got, want)
     f = jnp.asarray(want)
     assert normalize_clip(f) is f
+
+
+def test_staged_video_scoring_matches_unstaged():
+    """scorer.stage(frames) pre-uploads; scoring a StagedVideo must equal
+    scoring raw frames (plain and mesh-sharded scorers)."""
+    import jax.numpy as jnp
+
+    from vadcl_tpu.core.mesh import make_mesh
+    from vadcl_tpu.eval.predict import StagedVideo, make_video_scorer
+
+    def apply_fn(clips):
+        return jnp.mean(clips, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (23, 8, 8, 3)).astype(np.uint8)
+    starts = sliding_windows(23, 4, "stride1")
+    for mesh in (None, make_mesh(8)):
+        vs = make_video_scorer(
+            apply_fn, 4, predict=True, batch_windows=8, mesh=mesh
+        )
+        staged = vs.stage(frames)
+        assert isinstance(staged, StagedVideo)
+        assert staged.num_frames == 23
+        assert staged.video.shape[0] % 64 == 0  # T-bucketed
+        np.testing.assert_allclose(
+            vs(staged, starts), vs(frames, starts), rtol=1e-6
+        )
+        # score_video accepts the staged form too
+        labels = (rng.rand(23) > 0.5).astype(np.int64)
+        mse_s, lab_s = score_video(vs, staged, labels, 4, True, "stride1")
+        mse_r, lab_r = score_video(vs, frames, labels, 4, True, "stride1")
+        np.testing.assert_allclose(mse_s, mse_r, rtol=1e-6)
+        np.testing.assert_array_equal(lab_s, lab_r)
+
+
+def test_pipeline_videos_order_and_staging():
+    """pipeline_videos yields every video in order; frames become
+    StagedVideo for video-resident scorers and pass through otherwise."""
+    import jax.numpy as jnp
+
+    from vadcl_tpu.eval.predict import (
+        StagedVideo,
+        make_video_scorer,
+        make_window_scorer,
+        pipeline_videos,
+    )
+
+    def apply_fn(clips):
+        return jnp.mean(clips, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(8)
+    vids = [
+        (rng.randint(0, 256, (11 + i, 8, 8, 3)).astype(np.uint8),
+         np.zeros(11 + i, np.int64), f"{i:02d}")
+        for i in range(4)
+    ]
+    vs = make_video_scorer(apply_fn, 4, predict=True, batch_windows=4)
+    out = list(pipeline_videos(vs, iter(vids)))
+    assert [scene for _, _, scene in out] == ["00", "01", "02", "03"]
+    for (fr, lab, scene), (fr0, lab0, _) in zip(out, vids):
+        assert isinstance(fr, StagedVideo)
+        assert fr.num_frames == fr0.shape[0]
+        np.testing.assert_array_equal(
+            np.asarray(fr.video)[: fr.num_frames], fr0
+        )
+        assert lab is lab0
+
+    ws = make_window_scorer(apply_fn, 4, predict=True, batch_windows=4)
+    out_w = list(pipeline_videos(ws, iter(vids)))
+    assert all(fr is fr0 for (fr, _, _), (fr0, _, _) in zip(out_w, vids))
+
+    # producer errors surface to the consumer
+    def boom():
+        yield vids[0]
+        raise RuntimeError("decode failed")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        list(pipeline_videos(vs, boom()))
+
+
+def test_evaluate_videos_pipelined_equals_reference_auc():
+    """evaluate_videos through the pipelined path reproduces the same AUC a
+    hand-rolled serial loop computes (real jitted scorer, 8-dev CPU)."""
+    import jax.numpy as jnp
+
+    from vadcl_tpu.eval.predict import make_video_scorer
+    from vadcl_tpu.eval.scoring import mean_scene_auc, per_scene_auc
+
+    def apply_fn(clips):
+        return jnp.mean(clips, axis=1, keepdims=True)
+
+    rng = np.random.RandomState(9)
+    vids = []
+    for i in range(3):
+        T = 19 + 3 * i
+        frames = rng.randint(0, 256, (T, 8, 8, 3)).astype(np.uint8)
+        labels = (rng.rand(T) > 0.7).astype(np.int64)
+        vids.append((frames, labels, "01" if i < 2 else "02"))
+
+    vs = make_video_scorer(apply_fn, 4, predict=True, batch_windows=4)
+    auc, per_scene, per_video = evaluate_videos(
+        vs, iter(vids), 4, True, "stride1"
+    )
+
+    scene_scores, scene_labels = {}, {}
+    for frames, labels, scene in vids:
+        mse, lab = score_video(vs, frames, labels, 4, True, "stride1")
+        s = anomaly_score(psnr(mse))
+        scene_scores.setdefault(scene, np.zeros(0))
+        scene_labels.setdefault(scene, np.zeros(0, np.int64))
+        scene_scores[scene] = np.append(scene_scores[scene], s)
+        scene_labels[scene] = np.append(scene_labels[scene], lab)
+    want = mean_scene_auc(per_scene_auc(scene_scores, scene_labels))
+    np.testing.assert_allclose(auc, want, rtol=1e-12)
+    assert len(per_video) == 3

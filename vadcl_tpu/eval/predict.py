@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from functools import partial
 from typing import (
+    Any,
     Callable,
     Dict,
     Iterable,
@@ -51,6 +52,17 @@ class VideoScores(NamedTuple):
     scores: np.ndarray  # per-frame anomaly scores for the scored frames
     labels: np.ndarray  # matching ground-truth labels
     scene: str
+
+
+class StagedVideo(NamedTuple):
+    """A video already T-bucket-padded and placed on the device, produced by
+    a video scorer's ``stage``.  Staging video i+1 while video i scores
+    overlaps its host->device transfer with compute (``pipeline_videos``) —
+    the transfer is the eval bottleneck over thin host links, and on real
+    pods this is ordinary input pipelining."""
+
+    video: jax.Array  # (T_padded, H, W, C) on device
+    num_frames: int  # the ORIGINAL frame count (windows never index padding)
 
 
 def sliding_windows(
@@ -244,7 +256,26 @@ def make_video_scorer(
         err = (recon - clips) ** 2
         return jnp.mean(err, axis=(2, 3, 4))
 
-    def run(frames: np.ndarray, starts: Sequence[int]) -> np.ndarray:
+    def stage(frames: np.ndarray) -> StagedVideo:
+        """T-bucket-pad and start the (async) host->device transfer now.
+        Feeding the result back to the scorer skips its own upload — stage
+        video i+1 while video i scores to overlap transfer with compute
+        (``pipeline_videos`` does this for whole-dataset eval)."""
+        t = frames.shape[0]
+        t_pad = (-t) % _T_BUCKET
+        if t_pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], t_pad, axis=0)], axis=0
+            )
+        if mesh is not None:
+            # replicate onto the mesh now (matches the score jit's
+            # replicated in_sharding) instead of committing to one device
+            video = jax.device_put(frames, replicated)
+        else:
+            video = jnp.asarray(frames)
+        return StagedVideo(video=video, num_frames=t)
+
+    def run(frames, starts: Sequence[int]) -> np.ndarray:
         starts = np.asarray(list(starts), np.int32)
         n = starts.shape[0]
         if n == 0:
@@ -255,13 +286,16 @@ def make_video_scorer(
         # bucket T to the next _T_BUCKET multiple (pad repeats the last
         # frame; starts never index the padding) so jit compiles once per
         # bucket instead of once per distinct video length
-        t = frames.shape[0]
-        t_pad = (-t) % _T_BUCKET
-        if t_pad:
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], t_pad, axis=0)], axis=0
-            )
-        video = jnp.asarray(frames)  # ONE host->device transfer per video
+        if isinstance(frames, StagedVideo):
+            video = frames.video  # already padded + on device
+        else:
+            t = frames.shape[0]
+            t_pad = (-t) % _T_BUCKET
+            if t_pad:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], t_pad, axis=0)], axis=0
+                )
+            video = jnp.asarray(frames)  # ONE host->device transfer per video
         outs: List[np.ndarray] = []
         futures: List[jax.Array] = []
         for i in range(0, starts.shape[0], batch_windows):
@@ -277,7 +311,56 @@ def make_video_scorer(
         return out[:n]
 
     run.takes_video = True
+    run.stage = stage
     return run
+
+
+def pipeline_videos(
+    scorer,
+    videos: Iterable[Tuple[np.ndarray, np.ndarray, str]],
+) -> Iterable[Tuple[Any, np.ndarray, str]]:
+    """Overlap the eval input pipeline with device compute: a background
+    thread pulls (decodes) the NEXT video while the current one scores, and
+    for video-resident scorers the next video's host->device transfer is
+    staged (async ``device_put``) before the current video's scores are read
+    back.  Yields items whose frames may be ``StagedVideo``; ``score_video``
+    accepts both.  Falls through unchanged for scorers without ``stage``.
+
+    The reference evaluates strictly serially (decode -> transfer -> score per
+    video, ``tool/predict_evaluae.py:180-226``); over a thin host link the
+    transfer dominates, so this pipelining is the difference between
+    sum(transfer, compute) and max(transfer, compute) per video."""
+    import queue
+    import threading
+
+    stage = getattr(scorer, "stage", None)
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    _END = object()
+
+    def producer():
+        try:
+            for item in videos:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface decode errors to the consumer
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    prev = None
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        if item is _END:
+            break
+        frames, labels, scene = item
+        staged = (frames if stage is None else stage(frames), labels, scene)
+        if prev is not None:
+            yield prev
+        prev = staged
+    if prev is not None:
+        yield prev
 
 
 def score_video(
@@ -289,13 +372,25 @@ def score_video(
     predict: bool,
     protocol: str = "stride1",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-frame (mse-derived) scores + aligned labels for one whole video."""
-    starts = sliding_windows(frames.shape[0], frame_num, protocol)
+    """Per-frame (mse-derived) scores + aligned labels for one whole video.
+
+    ``frames`` may be a ``StagedVideo`` (already on device, from
+    ``scorer.stage`` / ``pipeline_videos``) when the scorer is
+    video-resident."""
+    num_frames = (
+        frames.num_frames
+        if isinstance(frames, StagedVideo)
+        else frames.shape[0]
+    )
+    starts = sliding_windows(num_frames, frame_num, protocol)
     if not starts:
         return np.zeros((0,)), np.zeros((0,), np.int64)
     if getattr(scorer, "takes_video", False):
         mse = scorer(frames, starts)
     else:
+        assert not isinstance(frames, StagedVideo), (
+            "StagedVideo requires a video-resident scorer"
+        )
         # uint8 windows transfer as-is; the scorer normalizes on device
         windows = np.stack([frames[s : s + frame_num] for s in starts])
         mse = scorer(windows)
@@ -341,8 +436,11 @@ def evaluate_videos_distributed(
     scores_cat: List[np.ndarray] = []
     labels_cat: List[np.ndarray] = []
     scene_cat: List[np.ndarray] = []
-    for i in range(pid, num_videos, nproc):
-        frames, labels, scene = get_video(i)
+    def _local_videos():
+        for i in range(pid, num_videos, nproc):
+            yield get_video(i)
+
+    for frames, labels, scene in pipeline_videos(scorer, _local_videos()):
         frame_mse, frame_labels = score_video(
             scorer, frames, labels, frame_num, predict, protocol
         )
@@ -391,7 +489,7 @@ def evaluate_videos(
     scene_scores: Dict[str, np.ndarray] = {}
     scene_labels: Dict[str, np.ndarray] = {}
     per_video: List[VideoScores] = []
-    for frames, labels, scene in videos:
+    for frames, labels, scene in pipeline_videos(scorer, videos):
         frame_mse, frame_labels = score_video(
             scorer, frames, labels, frame_num, predict, protocol
         )

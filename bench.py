@@ -259,17 +259,22 @@ def measure_inference(attn_kernel: str = "base"):
 
 
 def measure_eval_protocol(attn_kernel: str = "base"):
-    """Windows/sec through the REAL eval hot path: the device-resident
-    stride-1 video scorer that ``tools/evaluate.py`` runs
-    (``tool/predict_evaluae.py:191-203`` semantics — whole video ships to the
-    device once as uint8, windows gather on-device, dispatches pipeline).
-    Sweeps the window batch; returns (best_windows_per_sec, best_batch)."""
+    """Windows/sec through the REAL eval hot path: ``evaluate_videos`` over
+    fresh whole videos with the device-resident stride-1 scorer — exactly
+    what ``tools/evaluate.py`` runs (``tool/predict_evaluae.py:180-226``
+    semantics: per video decode -> transfer -> score -> PSNR/AUC), including
+    the pipelined input path (video i+1's host work and upload overlap video
+    i's compute).  Videos are fresh content every repeat so transfer caches
+    cannot flatter the number.  Sweeps the window batch; returns
+    (best_windows_per_sec, best_batch)."""
     import jax
     import jax.numpy as jnp
 
     from vadcl_tpu.eval.predict import (
         eval_input_frames,
+        evaluate_videos,
         make_video_scorer,
+        score_video,
         sliding_windows,
     )
     from vadcl_tpu.models.backbone import VADModel
@@ -277,10 +282,17 @@ def measure_eval_protocol(attn_kernel: str = "base"):
     cfg = _flagship_config(attn_kernel)
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     model = VADModel(config=cfg.model, dtype=dtype)
-    rng = np.random.RandomState(3)
     n_frames = 8 if _SMOKE else 256
-    frames = (rng.rand(n_frames + FRAMES, H, W, 3) * 255).astype(np.uint8)
-    starts = sliding_windows(frames.shape[0], FRAMES, "stride1")
+    n_videos = 2 if _SMOKE else 4
+    t_video = n_frames + FRAMES
+    n_windows = len(sliding_windows(t_video, FRAMES, "stride1"))
+
+    def fresh_videos(seed):
+        rng = np.random.RandomState(seed)
+        for i in range(n_videos):
+            frames = (rng.rand(t_video, H, W, 3) * 255).astype(np.uint8)
+            labels = (rng.rand(t_video) > 0.8).astype(np.int64)
+            yield frames, labels, "01"
 
     clips0 = jnp.zeros((1, FRAMES, H, W, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), clips0)
@@ -289,7 +301,8 @@ def measure_eval_protocol(attn_kernel: str = "base"):
         return model.apply(variables, clips).recon
 
     best, best_batch = 0.0, 0
-    for bw in (4,) if _SMOKE else (32, 64, 128):
+    seed = 100
+    for bw in (4,) if _SMOKE else (64, 128):
         scorer = make_video_scorer(
             apply_fn,
             frame_num=FRAMES,
@@ -297,13 +310,18 @@ def measure_eval_protocol(attn_kernel: str = "base"):
             batch_windows=bw,
             input_frames=eval_input_frames("swin", True, FRAMES),
         )
-        out = scorer(frames, starts)  # compile + warm
+        for frames, labels, _ in fresh_videos(99):  # compile + warm
+            score_video(scorer, frames, labels, FRAMES, True, "stride1")
+            break
         rate = 0.0
-        for _ in range(3):
+        for _ in range(2):
+            seed += 1
             t0 = time.time()
-            out = scorer(frames, starts)
+            evaluate_videos(
+                scorer, fresh_videos(seed), FRAMES, True, "stride1"
+            )
             dt = time.time() - t0
-            rate = max(rate, len(starts) / dt)
+            rate = max(rate, n_videos * n_windows / dt)
         if rate > best:
             best, best_batch = rate, bw
     return best, best_batch
@@ -446,17 +464,29 @@ def main():
             calib = {}
 
     try:
-        attn_kernel = pick_attn_kernel()
+        picked = pick_attn_kernel()
     except Exception as e:
         print(f"attn-kernel pick failed: {e!r}", file=sys.stderr)
-        attn_kernel = "base"
-    infer_rate = measure_inference(attn_kernel)
-    train_kernel = attn_kernel if attn_kernel == "fold" else "base"
-    try:
-        train_rate = measure_train(train_kernel)
-    except Exception as e:  # never lose the headline number to a train issue
-        print(f"train bench failed: {e!r}", file=sys.stderr)
-        train_rate = float("nan")
+        picked = "base"
+    # The per-session autotune micro-benchmark and the end-to-end number can
+    # disagree under contention jitter, so measure the FULL model with both
+    # the session pick and the trainable production default ("fold") and
+    # report the best — the bench runs once per round, robustness wins.
+    attn_kernel, infer_rate = picked, 0.0
+    for k in dict.fromkeys([picked, "fold" if not _SMOKE else picked]):
+        rate = measure_inference(k)
+        if rate > infer_rate:
+            attn_kernel, infer_rate = k, rate
+    train_rate, train_kernel = float("nan"), "base"
+    train_tries = ("fold",) if _SMOKE else ("fold", "base")
+    for k in dict.fromkeys(train_tries):
+        try:
+            rate = measure_train(k)
+        except Exception as e:  # never lose the headline to a train issue
+            print(f"train bench ({k}) failed: {e!r}", file=sys.stderr)
+            continue
+        if not (rate <= train_rate):  # NaN-safe max
+            train_rate, train_kernel = rate, k
     try:
         flops = get_flops()
         infer_flops = flops["infer_flops_per_clip"]
@@ -498,7 +528,9 @@ def main():
                 # video scorer (windows include h2d of the video + readback)
                 "eval_windows_per_sec": r(eval_rate),
                 "eval_batch_windows": eval_bw or None,
-                "attn_kernel": attn_kernel,  # per-session pick (base|packed|fold)
+                # best-of-{session pick, fold} measured end-to-end
+                "attn_kernel": attn_kernel,
+                "train_attn_kernel": train_kernel,
                 "peak_tflops": peak,
                 "chip_matmul_tflops": r(calib.get("chip_matmul_tflops")),
                 "chip_copy_gbps": r(calib.get("chip_copy_gbps")),

@@ -116,6 +116,13 @@ def main():
         "'fold' when fused (partition/reverse/LN folded into the kernel, "
         "measured 1.17-1.19x over 'base' at flagship geometry), else 'base'.",
     )
+    ap.add_argument(
+        "--model-parallel", type=int, default=1,
+        help="shard attention heads + MLP hidden over a 2nd mesh axis of "
+        "this size (tensor parallelism, parallel/tp.py). Devices split as "
+        "(n_devices/N data) x (N model); runs the XLA attention path, so "
+        "--fused is forced off. 1 = pure data parallelism (default).",
+    )
     args = ap.parse_args()
 
     maybe_initialize_distributed()
@@ -124,6 +131,10 @@ def main():
         fused = jax.default_backend() not in ("cpu",)
     if fused and args.backbone != "swin":
         fused = False  # the fused kernels live in the Swin attention/cluster path
+    if args.model_parallel > 1:
+        # tensor parallelism partitions the XLA attention path via GSPMD;
+        # pallas_call is opaque to the partitioner (train/step.py guard)
+        fused = False
     attn_kernel = args.attn_kernel
     if attn_kernel == "auto":
         attn_kernel = "fold" if fused else "base"
@@ -161,8 +172,24 @@ def main():
     if args.batch_size:
         cfg = cfg.replace(batch_size_per_device=args.batch_size)
 
-    mesh = make_mesh(cfg.mesh.num_devices) if len(jax.devices()) > 1 else None
-    n_dev = len(jax.devices()) if mesh else 1
+    model_axis = None
+    if args.model_parallel > 1:
+        from vadcl_tpu.core.mesh import make_mesh_2d
+
+        n_all = cfg.mesh.num_devices or len(jax.devices())
+        tp = args.model_parallel
+        if n_all % tp:
+            raise SystemExit(
+                f"--model-parallel {tp} must divide the device count {n_all}"
+            )
+        mesh = make_mesh_2d(n_all // tp, tp)
+        model_axis = "model"
+        n_dev = n_all // tp  # the batch shards over the data axis only
+    else:
+        mesh = (
+            make_mesh(cfg.mesh.num_devices) if len(jax.devices()) > 1 else None
+        )
+        n_dev = len(jax.devices()) if mesh else 1
     ds = ClipDataset(
         cfg.data.data_path, frame_num=cfg.data.frame_num, size=cfg.data.image_size
     )
@@ -190,6 +217,7 @@ def main():
         eval_fn=eval_fn,
         eval_every_epochs=args.eval_every,
         max_steps=args.max_steps or None,
+        model_axis=model_axis,
     )
 
 

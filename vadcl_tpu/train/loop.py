@@ -50,6 +50,7 @@ def train(
     max_steps: Optional[int] = None,
     profile_steps: int = 0,  # jax.profiler trace of steps [2, 2+profile_steps)
     debug_nans: bool = False,  # the analogue of set_detect_anomaly (SURVEY §5.2)
+    model_axis: Optional[str] = None,  # 2-D mesh tensor parallelism (tp.py)
 ) -> TrainState:
     os.makedirs(cfg.output_dir, exist_ok=True)
     logger = get_logger(os.path.join(cfg.output_dir, "exp.log"))
@@ -68,7 +69,9 @@ def train(
     state, tx = create_train_state(
         model, cfg, jax.random.key(cfg.seed), sample, steps_per_epoch
     )
-    step_fn = make_train_step(model, cfg, tx, steps_per_epoch, mesh=mesh)
+    step_fn = make_train_step(
+        model, cfg, tx, steps_per_epoch, mesh=mesh, model_axis=model_axis
+    )
 
     # auto-resume from the newest checkpoint if present.  Checkpoints record
     # (epoch, iter); resume continues INSIDE the epoch with the sampler

@@ -178,19 +178,26 @@ def train(
     profile_stop_at = None
     lagged = None
     t0 = time.time()
+    # Host-side mirror of state.step: int(state.step) would BLOCK on the
+    # in-flight step every iteration (device buffers materialize when the
+    # whole jitted step finishes), serializing host dispatch against device
+    # compute and defeating the lagged-metrics pipeline below.  The counter
+    # advances exactly once per step_fn call, so the mirror stays equal.
+    host_step = int(state.step)
     for epoch in range(start_epoch, cfg.optim.epochs):
         first_iter = start_iter if epoch == start_epoch else 0
         for it, batch in enumerate(
             loader.epoch(epoch, start_iter=first_iter), start=first_iter
         ):
-            if profile_steps and profiler_ctx is None and int(state.step) >= 2:
+            if profile_steps and profiler_ctx is None and host_step >= 2:
                 profiler_ctx = trace_steps(
                     os.path.join(cfg.output_dir, "profile")
                 )
                 profiler_ctx.__enter__()
-                profile_stop_at = int(state.step) + profile_steps
+                profile_stop_at = host_step + profile_steps
             state, m = step_fn(state, jax.numpy.asarray(batch))
-            if profiler_ctx is not None and int(state.step) >= profile_stop_at:
+            host_step += 1
+            if profiler_ctx is not None and host_step >= profile_stop_at:
                 profiler_ctx.__exit__(None, None, None)
                 profiler_ctx = None
                 profile_steps = 0
@@ -201,8 +208,8 @@ def train(
             # react one step late — same abort semantics, overlapped execution.
             if lagged is not None:
                 process_metrics(*lagged)
-            lagged = (m, epoch, it, batch, int(state.step))
-            if cfg.save_every_iters and int(state.step) % cfg.save_every_iters == 0:
+            lagged = (m, epoch, it, batch, host_step)
+            if cfg.save_every_iters and host_step % cfg.save_every_iters == 0:
                 # Drain the lagged metric BEFORE the resume point: the saved
                 # checkpoint says step N, so loss_record must hold steps 1..N
                 # or a genuine crash right after this save loses step N's
@@ -210,9 +217,9 @@ def train(
                 # the device here anyway for the checkpoint fetch.
                 process_metrics(*lagged)
                 lagged = None
-                ckpt.save(str(int(state.step)), state, {"epoch": epoch, "iter": it})
+                ckpt.save(str(host_step), state, {"epoch": epoch, "iter": it})
                 flush_loss_records()
-            if max_steps is not None and int(state.step) >= max_steps:
+            if max_steps is not None and host_step >= max_steps:
                 if lagged is not None:
                     process_metrics(*lagged)
                 flush_loss_records()
@@ -223,7 +230,7 @@ def train(
         flush_loss_records()
         if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
             ckpt.save(
-                str(int(state.step)),
+                str(host_step),
                 state,
                 {"epoch": epoch, "iter": steps_per_epoch - 1},
             )

@@ -218,3 +218,51 @@ def test_dynamic_batch_artifact(tmp_path, apply_fn):
         want = np.asarray(live(jnp.asarray(windows)))
         assert got.shape == (n,)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_serve_cli_end_to_end(tmp_path, apply_fn):
+    """tools/serve.py: artifact + frame folders in, per-scene AUC + scores.npz
+    out — the full deployment path with no model code in the serving step."""
+    from vadcl_tpu.data import make_synthetic_dataset
+
+    blob, meta = export_window_scorer(
+        apply_fn,
+        batch_windows=4,
+        frame_num=4,
+        image_size=(56, 56),
+        predict=True,
+        input_frames=4,
+        input_dtype="uint8",
+        platforms=("cpu",),
+    )
+    art_path = str(tmp_path / "scorer")
+    save_artifact(art_path, blob, meta)
+
+    _, test_dir, label_dir = make_synthetic_dataset(
+        str(tmp_path / "data"), size=56, frames_per_video=16
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    out_npz = str(tmp_path / "scores.npz")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "serve.py"),
+            "--artifact", art_path,
+            "--data-path", test_dir,
+            "--label-path", label_dir,
+            "--protocol", "stride1",
+            "--out", out_npz,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "mean scene AUC" in out.stdout
+    curves = np.load(out_npz)
+    assert len(curves.files) > 0
+    for k in curves.files:
+        scores, labels = curves[k]
+        assert np.isfinite(scores).all()
+        assert scores.min() >= 0.0 and scores.max() <= 1.0 + 1e-6

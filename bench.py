@@ -477,16 +477,19 @@ def main():
         rate = measure_inference(k)
         if rate > infer_rate:
             attn_kernel, infer_rate = k, rate
+    # train: "fold" wins consistently (docs/PERFORMANCE.md); "base" is only
+    # a fallback on failure — trying both would double the costly remote
+    # train-step compiles for a measured-negative comparison.
     train_rate, train_kernel = float("nan"), "base"
-    train_tries = ("fold",) if _SMOKE else ("fold", "base")
-    for k in dict.fromkeys(train_tries):
+    for k in ("fold", "base"):
         try:
             rate = measure_train(k)
         except Exception as e:  # never lose the headline to a train issue
             print(f"train bench ({k}) failed: {e!r}", file=sys.stderr)
             continue
-        if not (rate <= train_rate):  # NaN-safe max
+        if rate > 0:
             train_rate, train_kernel = rate, k
+            break
     try:
         flops = get_flops()
         infer_flops = flops["infer_flops_per_clip"]

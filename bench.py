@@ -258,18 +258,54 @@ def measure_inference(attn_kernel: str = "base"):
     return best
 
 
+def _ensure_fixture(kind: str, n_videos: int, frames_per_video: int) -> str:
+    """Synthetic JPEG frame-folder fixture on disk (built once, reused across
+    bench runs): the e2e numbers must pay REAL jpeg decode through the same
+    ``ClipDataset`` + native decoder the production tools use."""
+    import hashlib
+
+    from vadcl_tpu.data.synthetic import make_synthetic_dataset
+
+    key = f"{kind}-{n_videos}x{frames_per_video}x{H}-v1"
+    root = os.path.join(
+        "/tmp", "vadcl_bench_data",
+        hashlib.sha1(key.encode()).hexdigest()[:12],
+    )
+    done = os.path.join(root, ".done")
+    if not os.path.exists(done):
+        make_synthetic_dataset(
+            root,
+            num_train_videos=n_videos if kind == "train" else 0,
+            num_test_videos=n_videos if kind == "test" else 0,
+            frames_per_video=frames_per_video,
+            size=H,
+            num_scenes=2,
+            seed=17,
+        )
+        with open(done, "w") as f:
+            f.write(key)
+    return root
+
+
 def measure_eval_protocol(attn_kernel: str = "base"):
-    """Windows/sec through the REAL eval hot path: ``evaluate_videos`` over
-    fresh whole videos with the device-resident stride-1 scorer — exactly
-    what ``tools/evaluate.py`` runs (``tool/predict_evaluae.py:180-226``
-    semantics: per video decode -> transfer -> score -> PSNR/AUC), including
-    the pipelined input path (video i+1's host work and upload overlap video
-    i's compute).  Videos are fresh content every repeat so transfer caches
-    cannot flatter the number.  Sweeps the window batch; returns
-    (best_windows_per_sec, best_batch)."""
+    """Windows/sec through the REAL eval hot path, END TO END: JPEG frames on
+    disk -> ``ClipDataset`` (native threaded decode) -> ``evaluate_videos``
+    with the device-resident stride-1 scorer — exactly what
+    ``tools/evaluate.py`` runs (``tool/predict_evaluae.py:180-226`` semantics:
+    per video decode -> transfer -> score -> PSNR/AUC), including the
+    pipelined input path (video i+1's decode and upload overlap video i's
+    compute).  Sweeps the window batch and pipeline lookahead; returns
+    (best_windows_per_sec, best_batch, attribution-dict).
+
+    The attribution dict separately times the three pipeline legs so a
+    disappointing end-to-end number is diagnosable (VERDICT r3 item 4):
+    ``decode_fps`` (host JPEG->uint8 array), ``transfer_videos_per_sec``
+    (host->device staging of a whole video), ``compute_windows_per_sec``
+    (scoring with the video already device-resident)."""
     import jax
     import jax.numpy as jnp
 
+    from vadcl_tpu.data.dataset import ClipDataset
     from vadcl_tpu.eval.predict import (
         eval_input_frames,
         evaluate_videos,
@@ -287,12 +323,14 @@ def measure_eval_protocol(attn_kernel: str = "base"):
     t_video = n_frames + FRAMES
     n_windows = len(sliding_windows(t_video, FRAMES, "stride1"))
 
-    def fresh_videos(seed):
-        rng = np.random.RandomState(seed)
-        for i in range(n_videos):
-            frames = (rng.rand(t_video, H, W, 3) * 255).astype(np.uint8)
-            labels = (rng.rand(t_video) > 0.8).astype(np.int64)
-            yield frames, labels, "01"
+    root = _ensure_fixture("test", n_videos, t_video)
+    ds = ClipDataset(
+        os.path.join(root, "test"),
+        frame_num=FRAMES,
+        size=(H, W),
+        label_root=os.path.join(root, "test_labels"),
+        istest=True,
+    )
 
     clips0 = jnp.zeros((1, FRAMES, H, W, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), clips0)
@@ -300,8 +338,13 @@ def measure_eval_protocol(attn_kernel: str = "base"):
     def apply_fn(clips):
         return model.apply(variables, clips).recon
 
-    best, best_batch = 0.0, 0
-    seed = 100
+    # -- attribution leg 1: host decode only (native threaded path) --
+    t0 = time.time()
+    first = ds.get_test_video(0)
+    decode_fps = first[0].shape[0] / (time.time() - t0)
+
+    attribution = {"decode_fps": decode_fps}
+    best, best_batch, best_la = 0.0, 0, 0
     for bw in (4,) if _SMOKE else (64, 128):
         scorer = make_video_scorer(
             apply_fn,
@@ -310,24 +353,101 @@ def measure_eval_protocol(attn_kernel: str = "base"):
             batch_windows=bw,
             input_frames=eval_input_frames("swin", True, FRAMES),
         )
-        for frames, labels, _ in fresh_videos(99):  # compile + warm
-            score_video(scorer, frames, labels, FRAMES, True, "stride1")
-            break
-        rate = 0.0
-        for _ in range(2):
-            seed += 1
-            # materialize BEFORE timing: synthesizing 40MB of random pixels
-            # costs more host time than real JPEG decode and would otherwise
-            # dominate the measurement; the timed region covers transfer +
-            # scoring + PSNR exactly as the eval driver pays them
-            vids = list(fresh_videos(seed))
+        # compile + warm on the first video
+        score_video(scorer, first[0], first[1], FRAMES, True, "stride1")
+
+        # -- attribution legs 2+3 (measured once, at the first batch size) --
+        if "transfer_videos_per_sec" not in attribution and not _SMOKE:
             t0 = time.time()
-            evaluate_videos(scorer, vids, FRAMES, True, "stride1")
-            dt = time.time() - t0
-            rate = max(rate, n_videos * n_windows / dt)
-        if rate > best:
-            best, best_batch = rate, bw
-    return best, best_batch
+            staged = scorer.stage(first[0])
+            jax.block_until_ready(staged.video)
+            attribution["transfer_videos_per_sec"] = 1.0 / (
+                time.time() - t0
+            )
+            t0 = time.time()
+            score_video(scorer, staged, first[1], FRAMES, True, "stride1")
+            attribution["compute_windows_per_sec"] = n_windows / (
+                time.time() - t0
+            )
+
+        for lookahead in (2,) if _SMOKE else (2, 4):
+            rate = 0.0
+            for _ in range(2):
+                t0 = time.time()
+                evaluate_videos(
+                    scorer, ds.iter_test_videos(), FRAMES, True,
+                    "stride1", lookahead=lookahead,
+                )
+                dt = time.time() - t0
+                rate = max(rate, n_videos * n_windows / dt)
+            if rate > best:
+                best, best_batch, best_la = rate, bw, lookahead
+    attribution["lookahead"] = best_la
+    return best, best_batch, attribution
+
+
+def measure_train_e2e(attn_kernel: str = "fold"):
+    """clips/sec of the FULL training hot loop: JPEG frames on disk ->
+    ``ClipDataset`` + ``HostDataLoader`` (threaded native decode, prefetch)
+    -> uint8 host->device transfer -> the real jitted train step.  This is
+    the number ``tools/train.py`` actually delivers (the reference's whole
+    hot loop ``main_predict.py:233-347`` including its DataLoader), where
+    ``measure_train`` iterates device-resident batches (VERDICT r3 item 5).
+
+    Returns (e2e_clips_per_sec, loader_only_clips_per_sec): the second leg
+    attributes a gap to host decode vs device step."""
+    import jax
+    import jax.numpy as jnp
+
+    from vadcl_tpu.data.dataset import ClipDataset
+    from vadcl_tpu.data.loader import HostDataLoader
+    from vadcl_tpu.models.backbone import VADModel
+    from vadcl_tpu.train.step import create_train_state, make_train_step
+
+    n_videos, fpv = (1, 16) if _SMOKE else (4, 300)
+    batch = 2 if _SMOKE else 64
+    root = _ensure_fixture("train", n_videos, fpv)
+    ds = ClipDataset(os.path.join(root, "train"), frame_num=FRAMES, size=(H, W))
+    loader = HostDataLoader(ds, batch_size=batch, seed=0, num_workers=8)
+
+    # -- loader-only: steady-state host decode rate (first batch = spin-up) --
+    it = loader.epoch(0)
+    next(it)
+    n_batches, t0 = 0, time.time()
+    for _ in it:
+        n_batches += 1
+    loader_rate = n_batches * batch / (time.time() - t0)
+
+    cfg = _flagship_config(attn_kernel)
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    model = VADModel(config=cfg.model, dtype=dtype)
+    rng = np.random.RandomState(1)
+    clips0 = jnp.asarray(
+        rng.rand(batch, FRAMES, H, W, 3) * 255, jnp.uint8
+    )
+    state, tx = create_train_state(
+        model, cfg, jax.random.key(0), clips0[:1], steps_per_epoch=100
+    )
+    step = make_train_step(model, cfg, tx, steps_per_epoch=100)
+    state, _ = step(state, clips0)  # compile (uint8 input signature)
+    jax.block_until_ready(state.params)
+
+    # -- e2e: loader prefetch thread feeds the async-dispatched jitted step.
+    # Dispatch is async (jax enqueues; the device chains steps), so host
+    # decode of batch i+1 overlaps the device executing batch i; the final
+    # block_until_ready pays the real end-to-end wall clock.
+    rate = 0.0
+    for epoch in (1,) if _SMOKE else (1, 2):
+        it = loader.epoch(epoch)
+        first = next(it)  # let the producer spin up before timing
+        state, _ = step(state, jnp.asarray(first))
+        n_clips, t0 = 0, time.time()
+        for batch_np in it:
+            state, _ = step(state, jnp.asarray(batch_np))
+            n_clips += batch_np.shape[0]
+        jax.block_until_ready(state.params)
+        rate = max(rate, n_clips / (time.time() - t0))
+    return rate, loader_rate
 
 
 def measure_train(attn_kernel: str = "base"):
@@ -509,11 +629,20 @@ def main():
         else None
     )
     ref_clips = _REF_EFFECTIVE_TFLOPS * 1e12 / infer_flops
+    # Same estimated basis on the TRAIN side (VERDICT r3 item 7): the
+    # reference's fp32 eager train step on the same assumed 3.93 TFLOP/s
+    # effective, over the same XLA-counted fwd+bwd+Adam FLOPs per clip.
+    ref_train_clips = _REF_EFFECTIVE_TFLOPS * 1e12 / train_flops
     try:
-        eval_rate, eval_bw = measure_eval_protocol(attn_kernel)
+        eval_rate, eval_bw, eval_attr = measure_eval_protocol(attn_kernel)
     except Exception as e:
         print(f"eval-protocol bench failed: {e!r}", file=sys.stderr)
-        eval_rate, eval_bw = float("nan"), 0
+        eval_rate, eval_bw, eval_attr = float("nan"), 0, {}
+    try:
+        train_e2e_rate, loader_rate = measure_train_e2e(train_kernel)
+    except Exception as e:
+        print(f"train-e2e bench failed: {e!r}", file=sys.stderr)
+        train_e2e_rate, loader_rate = float("nan"), float("nan")
 
     def r(x, nd=2):
         return round(x, nd) if isinstance(x, float) and x == x else None
@@ -528,12 +657,22 @@ def main():
                 "model_gflops_per_clip": r(infer_flops / 1e9),
                 "mfu_pct": r(infer_mfu) if infer_mfu else None,
                 "train_clips_per_sec": r(train_rate),
+                "train_vs_baseline": r(train_rate / ref_train_clips),
                 "train_step_gflops_per_clip": r(train_flops / 1e9),
                 "train_mfu_pct": r(train_mfu) if train_mfu else None,
-                # the tools/evaluate.py hot path: device-resident stride-1
-                # video scorer (windows include h2d of the video + readback)
+                # the tools/train.py hot loop END TO END: JPEG on disk ->
+                # ClipDataset + HostDataLoader (native decode) -> jitted step
+                "train_e2e_clips_per_sec": r(train_e2e_rate),
+                "train_loader_clips_per_sec": r(loader_rate),
+                # the tools/evaluate.py hot path END TO END: JPEG on disk ->
+                # native decode -> pipelined upload -> device-resident
+                # stride-1 video scorer -> PSNR/AUC
                 "eval_windows_per_sec": r(eval_rate),
                 "eval_batch_windows": eval_bw or None,
+                "eval_attribution": {
+                    k: r(v) if isinstance(v, float) else v
+                    for k, v in eval_attr.items()
+                },
                 # best-of-{session pick, fold} measured end-to-end
                 "attn_kernel": attn_kernel,
                 "train_attn_kernel": train_kernel,

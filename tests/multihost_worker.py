@@ -165,4 +165,97 @@ np.testing.assert_allclose(dist_auc, ref_auc, atol=1e-12)
 # each process scored only its slice
 assert len(local_videos) == len(range(pid, len(_videos), nprocs))
 
+# --- the REAL train() loop across 2 processes: rank-gated output_dir writes
+# + mid-epoch crash-resume (VERDICT r3 item 3).  Phase 1 "crashes" one step
+# after a per-iteration checkpoint; phase 2 auto-resumes inside the epoch and
+# finishes.  Only process 0 may touch the shared output_dir.
+import logging  # noqa: E402
+
+from jax.experimental import multihost_utils as mhu  # noqa: E402
+
+from vadcl_tpu.core.config import (  # noqa: E402
+    ClusterConfig,
+    Config,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+)
+from vadcl_tpu.train.loop import train  # noqa: E402
+
+shared_dir = os.environ["VADCL_MH_DIR"]  # one dir shared by both processes
+run_dir = os.path.join(shared_dir, "run")
+
+
+class _ClipStub:
+    """Deterministic in-memory clip source (index-coded content)."""
+
+    def __len__(self):
+        return 64
+
+    def get_clip(self, i):
+        rng = np.random.RandomState(1000 + int(i))
+        return rng.rand(4, 56, 56, 3).astype(np.float32)
+
+
+cfg = Config(
+    model=ModelConfig(
+        embed_dim=32,
+        encoder_depths=(1, 1),
+        encoder_heads=(2, 4),
+        decoder_depths=(1, 1),
+        decoder_heads=(4, 2),
+        cluster=ClusterConfig(feature_clusters=16, space_clusters=8, space_size=7),
+    ),
+    data=DataConfig(frame_num=4, image_size=(56, 56)),
+    optim=OptimConfig(lr=3e-4, min_lr=1e-5, epochs=2),
+    batch_size_per_device=2,
+    output_dir=run_dir,
+    save_every_epochs=0,
+    save_every_iters=2,  # per-iteration checkpoints enable mid-epoch resume
+)
+train_loader = HostDataLoader(
+    _ClipStub(), batch_size=4, seed=3, num_workers=2,
+    host_id=pid, num_hosts=nprocs,
+)
+assert train_loader.steps_per_epoch() == 8
+
+# phase 1: run 3 steps (checkpoint lands at step 2), then "crash"
+state1 = train(cfg, train_loader, mesh=mesh, max_steps=3)
+assert int(state1.step) == 3
+mhu.sync_global_devices("vadcl_mh_phase1")
+from vadcl_tpu.train.checkpoint import CheckpointManager  # noqa: E402
+
+ckpt_probe = CheckpointManager(os.path.join(run_dir, "ckpt"))
+assert ckpt_probe.latest_tag() == "2", ckpt_probe.latest_tag()
+meta = ckpt_probe.metadata("2")
+assert (int(meta["epoch"]), int(meta["iter"])) == (0, 1), meta
+
+# phase 2: fresh train() call auto-resumes at epoch 0 iter 2 and finishes
+state2 = train(cfg, train_loader, mesh=mesh, max_steps=6)
+assert int(state2.step) == 6
+mhu.sync_global_devices("vadcl_mh_phase2")
+
+if pid == 0:
+    # process 0 wrote one coherent output_dir ...
+    assert os.path.exists(os.path.join(run_dir, "exp.log"))
+    assert os.path.exists(os.path.join(run_dir, "run_meta.json"))
+    with open(os.path.join(run_dir, "exp.log")) as f:
+        log_text = f.read()
+    assert "resumed from checkpoint 2 at epoch 0 iter 2" in log_text, log_text
+    import json as _json
+
+    with open(os.path.join(run_dir, "run_meta.json")) as f:
+        meta_json = _json.load(f)
+    assert meta_json["topology"]["process_count"] == nprocs
+    assert meta_json["config"]["batch_size_per_device"] == 2
+    losses = np.load(os.path.join(run_dir, "loss_record", "loss.npy"))
+    assert len(losses) == 6, len(losses)  # steps 1..6, no gap at the crash
+else:
+    # ... and the non-main process logged nowhere (rank-gated logger)
+    handlers = logging.getLogger("vadcl").handlers
+    assert all(
+        isinstance(h, logging.NullHandler) for h in handlers
+    ), handlers
+mhu.sync_global_devices("vadcl_mh_done")
+
 print(f"proc {pid}: multihost checks passed")

@@ -73,6 +73,43 @@ def test_inflate_swin2d():
     assert "relative_position_index" not in str(sorted(out))
 
 
+def test_inflate_swin2d_upstream_4stage():
+    """The UNMODIFIED upstream Video-Swin checkpoint layout (4 stages with
+    PatchMerging + classifier head, ``mmaction/models/backbones/
+    swin_transformer.py:17-669``) loads partially: stage 0/1 block weights
+    translate, everything without a counterpart is skipped with a log —
+    the reference's tolerant partial-load (``misc/utils.py:51-76``)."""
+    rng = np.random.RandomState(2)
+    state2d = {
+        "patch_embed.proj.weight": rng.randn(96, 3, 4, 4).astype(np.float32),
+        "patch_embed.norm.weight": rng.randn(96).astype(np.float32),
+        "layers.0.blocks.0.attn.qkv.weight":
+            rng.randn(288, 96).astype(np.float32),
+        "layers.0.downsample.reduction.weight":
+            rng.randn(192, 384).astype(np.float32),  # PatchMerging
+        "layers.0.downsample.norm.weight":
+            rng.randn(384).astype(np.float32),
+        "layers.1.blocks.0.mlp.fc1.weight":
+            rng.randn(768, 192).astype(np.float32),
+        "layers.2.blocks.0.attn.qkv.weight":
+            rng.randn(1152, 384).astype(np.float32),  # stage >= num_stages
+        "layers.3.blocks.0.attn.qkv.weight":
+            rng.randn(2304, 768).astype(np.float32),
+        "norm.weight": rng.randn(768).astype(np.float32),
+        "head.weight": rng.randn(400, 768).astype(np.float32),
+        "head.bias": rng.randn(400).astype(np.float32),
+    }
+    out = inflate_swin2d(state2d, window_size=(8, 7, 7), num_stages=2)
+    # the in-range stages translated
+    assert out["encoder/stage0/block0/attn/qkv_kernel"].shape == (96, 288)
+    assert out["encoder/stage1/block0/mlp/fc1/kernel"].shape == (192, 768)
+    assert out["encoder/patch_embed/kernel"].shape == (2, 4, 4, 3, 96)
+    # nothing without a counterpart leaked into the output
+    keys = "\n".join(sorted(out))
+    for bad in ("downsample", "stage2", "stage3", "head", "patch_embed/norm"):
+        assert bad not in keys, (bad, keys)
+
+
 def test_inflate_swin2d_resizes_bias_table():
     rng = np.random.RandomState(1)
     state2d = {

@@ -22,13 +22,14 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_multihost():
+def test_two_process_multihost(tmp_path):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     # the axon sitecustomize (PYTHONPATH) force-registers the TPU plugin in
     # every python process; the workers must be plain-CPU jax
     for var in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH", "PALLAS_AXON_POOL_IPS"):
         env.pop(var, None)
+    env["VADCL_MH_DIR"] = str(tmp_path)  # shared output_dir for the 2-proc train()
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, coordinator, str(pid), "2"],
@@ -42,7 +43,7 @@ def test_two_process_multihost():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=570)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

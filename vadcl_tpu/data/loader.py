@@ -91,7 +91,9 @@ class HostDataLoader:
 
         def producer():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                # num_workers=0 means decode synchronously (torch DataLoader
+                # semantics); ThreadPoolExecutor rejects 0 workers
+                with ThreadPoolExecutor(max(1, self.num_workers)) as pool:
                     for i in range(0, len(idx), self.batch_size):
                         if stop.is_set():
                             return

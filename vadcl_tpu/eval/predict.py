@@ -318,6 +318,7 @@ def make_video_scorer(
 def pipeline_videos(
     scorer,
     videos: Iterable[Tuple[np.ndarray, np.ndarray, str]],
+    lookahead: int = 2,
 ) -> Iterable[Tuple[Any, np.ndarray, str]]:
     """Overlap the eval input pipeline with device compute: a background
     thread pulls (decodes) the NEXT video while the current one scores, and
@@ -334,7 +335,12 @@ def pipeline_videos(
     import threading
 
     stage = getattr(scorer, "stage", None)
-    q: "queue.Queue" = queue.Queue(maxsize=2)
+    # ``lookahead`` bounds how many decoded-but-unscored videos may exist at
+    # once (host RAM for decode + device HBM for staged transfers).  Depth 2
+    # hides one video's decode+transfer behind the previous one's compute;
+    # deeper lookahead additionally rides out decode-time variance between
+    # videos (short video scoring fast while a long one decodes).
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, lookahead))
     _END = object()
 
     def producer():
@@ -483,13 +489,14 @@ def evaluate_videos(
     frame_num: int,
     predict: bool,
     protocol: str = "stride1",
+    lookahead: int = 2,
 ) -> Tuple[float, Dict[str, float], List[VideoScores]]:
     """Full eval: per-video PSNR -> min-max anomaly score, grouped by scene,
     AUC per scene, mean over scenes (``tool/contrast_evaluae.py:258-299``)."""
     scene_scores: Dict[str, np.ndarray] = {}
     scene_labels: Dict[str, np.ndarray] = {}
     per_video: List[VideoScores] = []
-    for frames, labels, scene in pipeline_videos(scorer, videos):
+    for frames, labels, scene in pipeline_videos(scorer, videos, lookahead):
         frame_mse, frame_labels = score_video(
             scorer, frames, labels, frame_num, predict, protocol
         )

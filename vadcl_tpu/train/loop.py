@@ -25,12 +25,23 @@ from vadcl_tpu.train.checkpoint import CheckpointManager
 from vadcl_tpu.train.step import TrainState, create_train_state, make_train_step
 
 
-def get_logger(path: str, name: str = "vadcl") -> logging.Logger:
+def get_logger(
+    path: str, name: str = "vadcl", to_file: bool = True
+) -> logging.Logger:
     """File logger, [time][file][line][level] format, truncating per run
-    (``misc/utils.py:79-95``)."""
+    (``misc/utils.py:79-95``).
+
+    ``to_file=False`` returns a silenced logger (NullHandler, no propagation)
+    — non-zero processes of a multi-host run log nowhere, the reference's
+    master-only discipline (``utils/distritributed_model.py:23-35``,
+    mmaction ``get_root_logger`` rank gating)."""
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
+    if not to_file:
+        logger.addHandler(logging.NullHandler())
+        logger.propagate = False
+        return logger
     fh = logging.FileHandler(path, "w")
     fh.setFormatter(
         logging.Formatter(
@@ -52,8 +63,21 @@ def train(
     debug_nans: bool = False,  # the analogue of set_detect_anomaly (SURVEY §5.2)
     model_axis: Optional[str] = None,  # 2-D mesh tensor parallelism (tp.py)
 ) -> TrainState:
-    os.makedirs(cfg.output_dir, exist_ok=True)
-    logger = get_logger(os.path.join(cfg.output_dir, "exp.log"))
+    # Rank gating: in a multi-process run every process executes the same
+    # loop (the jitted step is collective), but ONLY process 0 touches the
+    # shared output_dir — exp.log, checkpoints, loss records, auc_record.csv
+    # and JPEG dumps would otherwise race on same-path renames (the
+    # reference's master-only discipline, ``utils/distritributed_model.py:
+    # 23-35`` + ``save_on_master``, ``有用的函数包.py:470``).
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        from vadcl_tpu.utils.provenance import write_run_stamp
+
+        write_run_stamp(cfg.output_dir, cfg)
+    logger = get_logger(
+        os.path.join(cfg.output_dir, "exp.log"), to_file=is_main
+    )
     ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -92,9 +116,24 @@ def train(
             f"iter {start_iter}"
         )
 
+    # Multi-process: each host's loader yields its LOCAL batch shard; the
+    # jitted step's in_sharding expects the GLOBAL array, so shards assemble
+    # via multihost_utils (parallel/sharding.py) before dispatch.
+    multihost = mesh is not None and jax.process_count() > 1
+    if multihost:
+        from vadcl_tpu.parallel.sharding import local_batch_to_global
+
+        def to_device(batch):
+            return local_batch_to_global(np.asarray(batch), mesh)
+    else:
+        def to_device(batch):
+            return jax.numpy.asarray(batch)
+
     from vadcl_tpu.utils.profiling import StepTimer, trace_steps
 
-    timer = StepTimer(clips_per_step=loader.batch_size)
+    timer = StepTimer(
+        clips_per_step=loader.batch_size * jax.process_count()
+    )
     best_auc = -1.0
     state_box = {"prev_loss": None, "spike_dumped": False}
     # per-step loss records for the ablation plotter (the reference trainers
@@ -104,7 +143,7 @@ def train(
     loss_log = {"loss": [], "loss_pixel": [], "cluster_loss": [], "space_loss": []}
 
     def flush_loss_records():
-        if not loss_log["loss"]:
+        if not is_main or not loss_log["loss"]:
             return
         os.makedirs(loss_record_dir, exist_ok=True)
         for name, vals in loss_log.items():
@@ -126,7 +165,7 @@ def train(
         # loss-spike batch capture (main_predict.py:290-294: a >10 jump
         # dumps the offending batch once per run to bug_data_detect/)
         prev = state_box["prev_loss"]
-        if prev is not None and abs(loss - prev) > 10.0 and not state_box[
+        if is_main and prev is not None and abs(loss - prev) > 10.0 and not state_box[
             "spike_dumped"
         ]:
             from vadcl_tpu.viz.dumps import save_clip_frames
@@ -140,7 +179,7 @@ def train(
         # periodic input/recon visual dump (main_predict.py:265-267: every 10
         # iters the reference saves the target frames and the reconstruction
         # as JPEG sequences — its routine visual-inspection hook, SURVEY §4.2)
-        if cfg.dump_every_iters and step_h % cfg.dump_every_iters == 0:
+        if is_main and cfg.dump_every_iters and step_h % cfg.dump_every_iters == 0:
             from vadcl_tpu.train.step import split_predict_batch
             from vadcl_tpu.viz.dumps import save_clip_frames
 
@@ -195,7 +234,7 @@ def train(
                 )
                 profiler_ctx.__enter__()
                 profile_stop_at = host_step + profile_steps
-            state, m = step_fn(state, jax.numpy.asarray(batch))
+            state, m = step_fn(state, to_device(batch))
             host_step += 1
             if profiler_ctx is not None and host_step >= profile_stop_at:
                 profiler_ctx.__exit__(None, None, None)
@@ -217,7 +256,10 @@ def train(
                 # the device here anyway for the checkpoint fetch.
                 process_metrics(*lagged)
                 lagged = None
-                ckpt.save(str(host_step), state, {"epoch": epoch, "iter": it})
+                if is_main:
+                    ckpt.save(
+                        str(host_step), state, {"epoch": epoch, "iter": it}
+                    )
                 flush_loss_records()
             if max_steps is not None and host_step >= max_steps:
                 if lagged is not None:
@@ -228,7 +270,9 @@ def train(
             process_metrics(*lagged)
             lagged = None
         flush_loss_records()
-        if cfg.save_every_epochs and (epoch + 1) % cfg.save_every_epochs == 0:
+        if is_main and cfg.save_every_epochs and (
+            (epoch + 1) % cfg.save_every_epochs == 0
+        ):
             ckpt.save(
                 str(host_step),
                 state,
@@ -241,11 +285,15 @@ def train(
             logger.info(f"epoch {epoch} AUC={auc:.4f}")
             # auc_record capability (main_predict.py:198-199, 217-218; csv
             # instead of xlsx)
-            with open(os.path.join(cfg.output_dir, "auc_record.csv"), "a") as f:
-                f.write(f"{epoch},{auc:.6f}\n")
+            if is_main:
+                with open(
+                    os.path.join(cfg.output_dir, "auc_record.csv"), "a"
+                ) as f:
+                    f.write(f"{epoch},{auc:.6f}\n")
             if auc > best_auc:
                 best_auc = auc
-                ckpt.save("best", state, {"epoch": epoch, "auc": auc})
+                if is_main:
+                    ckpt.save("best", state, {"epoch": epoch, "auc": auc})
     if lagged is not None:
         process_metrics(*lagged)  # drain the final lagged step
     flush_loss_records()

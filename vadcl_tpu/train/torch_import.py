@@ -264,6 +264,7 @@ def inflate_swin2d(
     state2d: Dict[str, np.ndarray],
     window_size=(8, 7, 7),
     patch_size=(2, 4, 4),
+    num_stages: int = 2,
 ) -> Dict[str, np.ndarray]:
     """Inflate a 2D Swin checkpoint into the 3D encoder's parameter space
     (capability parity with ``inflate_weights``,
@@ -275,15 +276,41 @@ def inflate_swin2d(
       differs, then tile (2*wd - 1) times over the temporal axis;
     * linear/norm weights pass through the standard layout conversion.
 
-    Input keys use upstream Swin-2D naming (``layers.{i}.blocks.{j}...``);
-    output is a flat params dict under ``encoder/...`` suitable for
+    Input keys use upstream Swin-2D naming (``layers.{i}.blocks.{j}...``) —
+    including the UNMODIFIED 4-stage upstream checkpoints
+    (``mmaction/models/backbones/swin_transformer.py:17-669`` layout): stages
+    past ``num_stages`` and ``PatchMerging`` keys (``layers.{i}.downsample.*``
+    — the reference disables merging, ``model/swin_transformer.py:546``) are
+    skipped with a per-key log line, the reference's tolerant partial-load
+    semantics (``misc/utils.py:51-76``).  Classifier ``head.*`` and the final
+    ``norm.*`` (which has no 2-stage analogue) are skipped likewise.
+
+    Output is a flat params dict under ``encoder/...`` suitable for
     ``tolerant_merge``.
     """
+    import logging
+
+    logger = logging.getLogger("vadcl")
     out: Dict[str, np.ndarray] = {}
     wd, wh, ww = window_size
+
+    def skip(key: str, why: str):
+        logger.info(f"inflate_swin2d: skipping {key} ({why})")
+
     for key, v in state2d.items():
         v = np.asarray(v)
         if "relative_position_index" in key or "attn_mask" in key:
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.downsample\..*", key)
+        if m:
+            skip(key, "PatchMerging — disabled in the target model")
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\..*", key)
+        if m and int(m.group(1)) >= num_stages:
+            skip(key, f"stage {m.group(1)} >= model stages {num_stages}")
+            continue
+        if re.fullmatch(r"(head|norm)\.(weight|bias)", key):
+            skip(key, "no counterpart in the 2-stage encoder")
             continue
         if key == "patch_embed.proj.weight":
             # (C, 3, kh, kw) -> repeat temporal taps, /kd (weight inflation)
@@ -296,6 +323,7 @@ def inflate_swin2d(
             continue
         m = re.fullmatch(r"layers\.(\d+)\.blocks\.(\d+)\.(.*)", key)
         if not m:
+            skip(key, "no counterpart in the 3D encoder")
             continue
         base = f"encoder/stage{m.group(1)}/block{m.group(2)}"
         rest = m.group(3)
@@ -322,6 +350,7 @@ def inflate_swin2d(
             continue
         sub = _block_rename(rest)
         if sub is None:
+            skip(key, "unrecognized block parameter")
             continue
         path, kind = sub
         if kind == "norm_scale":

@@ -133,10 +133,14 @@ def test_tp_train_step_matches_dp(dp, tp):
         )
 
 
-def test_tp_rejects_fused_attention():
+def test_tp_rejects_single_device_fused_kernels():
+    """'base'/'packed' fused kernels have no shard_map dispatch — rejected;
+    the folded kernels compose (see test_tp_fold_*)."""
     cfg = dataclasses.replace(
         TINY,
-        model=dataclasses.replace(TINY_MODEL, fused_attention=True),
+        model=dataclasses.replace(
+            TINY_MODEL, fused_attention=True, attn_kernel="base"
+        ),
     )
     model = VADModel(config=cfg.model)
     clip = jnp.asarray(
@@ -145,7 +149,7 @@ def test_tp_rejects_fused_attention():
     state, tx = create_train_state(
         model, cfg, jax.random.key(0), clip, steps_per_epoch=10
     )
-    with pytest.raises(ValueError, match="XLA attention path"):
+    with pytest.raises(ValueError, match="single-device"):
         make_train_step(
             model, cfg, tx, steps_per_epoch=10,
             mesh=make_mesh_2d(2, 4), model_axis="model",
@@ -154,4 +158,80 @@ def test_tp_rejects_fused_attention():
         make_train_step(
             model, cfg, tx, steps_per_epoch=10,
             mesh=make_mesh(8), model_axis="model",
+        )
+
+
+def test_tp_fold_forward_matches_unsharded():
+    """The folded Pallas path under a model axis (shard_map window-row
+    dispatch, tp.py:shard_windows_call) == the plain single-device fold
+    apply.  CPU runs the kernels in interpret mode
+    (ops/window.py:pallas_interpret), so this exercises the REAL production
+    kernels' shard_map dispatch, not an XLA stand-in."""
+    fold_model = dataclasses.replace(
+        TINY_MODEL, fused_attention=True, attn_kernel="fold"
+    )
+    model = VADModel(config=fold_model)
+    clip = jnp.asarray(
+        np.random.RandomState(3).rand(2, 4, 56, 56, 3), jnp.float32
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), clip)
+    ref = jax.jit(model.apply)(variables, clip)
+
+    mesh = make_mesh_2d(2, 2)
+
+    @jax.jit
+    def tp_apply(variables, clip):
+        with model_parallel(mesh, "model"):
+            return model.apply(variables, clip)
+
+    out = tp_apply(variables, clip)
+    np.testing.assert_allclose(
+        np.asarray(ref.recon, np.float32),
+        np.asarray(out.recon, np.float32),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+@pytest.mark.slow
+def test_tp_fold_train_step_matches_dp():
+    """One dp2×tp2 train step on the FOLD kernels == the plain 4-way DP fold
+    step (same global batch): losses equal, updated params within the Adam
+    first-step envelope.  Proves the shard_map dispatch backpropagates
+    correctly through the folded custom-VJP kernels (replicated-weight
+    cotangents psum'ed by shard_map's transpose)."""
+    cfg = dataclasses.replace(
+        TINY,
+        model=dataclasses.replace(
+            TINY_MODEL, fused_attention=True, attn_kernel="fold"
+        ),
+    )
+    model = VADModel(config=cfg.model)
+    clip = jnp.asarray(
+        np.random.RandomState(4).rand(4, 4, 56, 56, 3), jnp.float32
+    )
+    state, tx = create_train_state(
+        model, cfg, jax.random.key(0), clip, steps_per_epoch=10
+    )
+    step_dp = make_train_step(
+        model, cfg, tx, steps_per_epoch=10, mesh=make_mesh(4)
+    )
+    s1, m1 = step_dp(state, clip)
+
+    state2, _ = create_train_state(
+        model, cfg, jax.random.key(0), clip, steps_per_epoch=10
+    )
+    step_tp = make_train_step(
+        model, cfg, tx, steps_per_epoch=10,
+        mesh=make_mesh_2d(2, 2), model_axis="model",
+    )
+    s2, m2 = step_tp(state2, clip)
+
+    np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2.5 * cfg.optim.lr
         )

@@ -107,66 +107,47 @@ class WindowAttention3D(nn.Module):
                 # folded path: x_windows is the un-partitioned (B, Dp, Hp, Wp,
                 # C) tensor; partition/reverse happen inside the kernel's
                 # block fetches (ops/pallas_attn_fold.py).  With ``ln`` the
-                # block's norm1 and residual add fold in too.
+                # block's norm1 and residual add fold in too.  Dispatch goes
+                # through shard_windows_call: with an active model axis the
+                # Hp window rows split over it (tensor parallelism for the
+                # Pallas path, parallel/tp.py); otherwise it is the plain
+                # single-device call.  On CPU the kernels run in interpret
+                # mode (ops/window.py:pallas_interpret).
                 from vadcl_tpu.ops.pallas_attn_fold import (
                     folded_block_attention_trainable,
                     folded_full_block_trainable,
                     folded_window_attention_trainable,
                 )
+                from vadcl_tpu.ops.window import pallas_interpret
+                from vadcl_tpu.parallel.tp import shard_windows_call
 
-                maskj = jnp.asarray(mask) if mask is not None else None
+                interp = pallas_interpret()
+                nh, rw = self.num_heads, runtime_window
                 if ln is not None and mlp is not None:
                     # whole Swin block in one kernel each way: LN1 + attn +
                     # residual + LN2 + MLP + residual (the backward chains
                     # MLP-vjp -> attn-vjp -> LN1-vjp entirely in VMEM)
-                    out = folded_full_block_trainable(
-                        x_windows.astype(self.dtype),
-                        ln[0],
-                        ln[1],
-                        qkv_w,
-                        qkv_b,
-                        proj_w,
-                        proj_b,
-                        bias,
-                        maskj,
-                        mlp[0],
-                        mlp[1],
-                        mlp[2],
-                        mlp[3],
-                        mlp[4],
-                        mlp[5],
-                        self.num_heads,
-                        runtime_window,
-                        scale,
-                    )
+                    def fold_call(xl, ml):
+                        return folded_full_block_trainable(
+                            xl, ln[0], ln[1], qkv_w, qkv_b, proj_w, proj_b,
+                            bias, ml, mlp[0], mlp[1], mlp[2], mlp[3], mlp[4],
+                            mlp[5], nh, rw, scale, interp,
+                        )
                 elif ln is not None:
-                    out = folded_block_attention_trainable(
-                        x_windows.astype(self.dtype),
-                        ln[0],
-                        ln[1],
-                        qkv_w,
-                        qkv_b,
-                        proj_w,
-                        proj_b,
-                        bias,
-                        maskj,
-                        self.num_heads,
-                        runtime_window,
-                        scale,
-                    )
+                    def fold_call(xl, ml):
+                        return folded_block_attention_trainable(
+                            xl, ln[0], ln[1], qkv_w, qkv_b, proj_w, proj_b,
+                            bias, ml, nh, rw, scale, interp,
+                        )
                 else:
-                    out = folded_window_attention_trainable(
-                        x_windows.astype(self.dtype),
-                        qkv_w,
-                        qkv_b,
-                        proj_w,
-                        proj_b,
-                        bias,
-                        maskj,
-                        self.num_heads,
-                        runtime_window,
-                        scale,
-                    )
+                    def fold_call(xl, ml):
+                        return folded_window_attention_trainable(
+                            xl, qkv_w, qkv_b, proj_w, proj_b, bias, ml,
+                            nh, rw, scale, interp,
+                        )
+                out = shard_windows_call(
+                    fold_call, x_windows.astype(self.dtype), mask, rw
+                )
             elif self.attn_kernel == "packed":
                 # head-packed variant (ops/pallas_attn.py): inference-only
                 # (no VJP); bench.py selects it when the chip's delivered
@@ -440,9 +421,20 @@ class SwinBlock3D(nn.Module):
             (w1, b1), (w2, b2) = _MlpParams(
                 C, int(C * self.mlp_ratio), name="mlp"
             )()
-            x = fused_ln_mlp(
-                x.astype(self.dtype), ln_scale, ln_bias, w1, b1, w2, b2
-            )
+            from vadcl_tpu.ops.window import pallas_interpret
+            from vadcl_tpu.parallel.tp import shard_tokens_call
+
+            interp = pallas_interpret()
+
+            def mlp_call(xl):
+                return fused_ln_mlp(
+                    xl, ln_scale, ln_bias, w1, b1, w2, b2, interp
+                )
+
+            # token-pointwise: with an active model axis the H rows split
+            # over it — the same rows shard_windows_call split, so no
+            # reshard happens between the block's two kernels
+            x = shard_tokens_call(mlp_call, x.astype(self.dtype), 2)
         else:
             z = layer_norm(dtype=self.dtype, name="norm2")(x)
             z = Mlp(

@@ -29,6 +29,13 @@ import numpy as np
 Tri = Tuple[int, int, int]
 
 
+def pallas_interpret() -> bool:
+    """Pallas TPU kernels lower only on TPU; on the CPU backend (unit tests,
+    the 8-virtual-device multichip dryrun) the model dispatches them in
+    interpret mode instead, so ``fused_attention`` configs stay portable."""
+    return jax.default_backend() == "cpu"
+
+
 def window_partition(x: jax.Array, window_size: Tri) -> jax.Array:
     """(B, D, H, W, C) -> (B * nW, wd*wh*ww, C).  Parity:
     ``model/swin_transformer.py:38-51`` (same window enumeration order)."""

@@ -216,21 +216,32 @@ def make_train_step(
     """Build the jitted train step.  With a mesh, the clip batch is sharded
     over 'data' and everything else replicated; XLA emits the grad all-reduce.
 
-    ``model_axis`` names a second mesh axis to shard attention heads and the
-    MLP hidden width over (tensor parallelism, parallel/tp.py) — the mesh is
-    then 2-D ``(data, model_axis)`` and each data shard's forward/backward
-    splits across the model axis via GSPMD.  XLA-path only: the Pallas fused
-    kernels are single-device programs, so ``fused_attention`` must be off."""
+    ``model_axis`` names a second mesh axis for tensor parallelism
+    (parallel/tp.py) — the mesh is then 2-D ``(data, model_axis)`` and each
+    data shard's forward/backward splits across the model axis.  Two
+    mechanisms, selected by the attention path: the XLA path shards heads /
+    MLP hidden width via GSPMD constraints; the folded Pallas path
+    (``attn_kernel in ("fold", "fold_block")``) dispatches its kernels via
+    ``shard_map`` with the window rows split over the axis
+    (tp.py:shard_windows_call).  The remaining fused kernels ("base",
+    "packed" window layouts) are single-device programs with no shard_map
+    dispatch — rejected."""
     if model_axis is not None:
         if mesh is None or model_axis not in mesh.axis_names:
             raise ValueError(
                 f"model_axis={model_axis!r} requires a mesh with that axis "
                 f"(got {mesh and mesh.axis_names})"
             )
-        if cfg.model.fused_attention:
+        if cfg.model.fused_attention and cfg.model.attn_kernel not in (
+            "fold",
+            "fold_block",
+        ):
             raise ValueError(
-                "model-axis parallelism runs the XLA attention path; "
-                "set fused_attention=False (pallas_call is opaque to GSPMD)"
+                "model-axis parallelism runs the XLA attention path or the "
+                "folded Pallas kernels (attn_kernel='fold'/'fold_block', "
+                "shard_map-dispatched); the 'base'/'packed' window-layout "
+                "kernels are single-device — set fused_attention=False or "
+                "attn_kernel='fold'"
             )
     from vadcl_tpu.parallel.tp import model_parallel
 

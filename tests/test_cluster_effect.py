@@ -1,0 +1,180 @@
+"""System-level clustering-effect validation (the reference's value claim).
+
+The reference's experiments (``实验记录.xlsx`` rows 5/9/11, protocol
+``tool/contrast_evaluae.py:276-299``) show clustering-guided training lifting
+ShanghaiTech frame-AUROC 0.722 -> 0.728.  Equation-level parity of the losses
+and gradients is proven elsewhere (test_reference_parity,
+test_reference_train_parity); this file validates the *system-level* effect —
+that decoding through normal-data prototypes widens the anomaly margin — on a
+fixture whose anomalies are separable only by spatio-temporal STRUCTURE
+(stripe orientation + motion direction; pixel statistics matched), where
+plain reconstruction does NOT saturate
+(``data/synthetic.py:make_latent_anomaly_dataset``).
+
+Protocol: train the recon path, seed the feature-cluster codebook from the
+trained encoder's normal latents, and A/B the eval protocol with the
+compactness decode (``assign @ centers``) on vs off.  The codebook warm-start
+stands in for the reference's 100k-iteration center training, which a
+CPU-minutes test cannot reproduce — measured at this toy scale, end-to-end
+center training from the torch.rand init either collapses (alpha=16: all
+tokens -> one center, AUC 0.74 -> 0.54) or degrades (alpha=4, K=32, spread
+occupancy but AUC 0.74 -> 0.42 at 300 steps): the prototypes need far more
+data/steps than a unit test has.  With a representative codebook the
+mechanism itself is unambiguous and fast to check.
+"""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vadcl_tpu.core.config import (
+    ClusterConfig,
+    Config,
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    ScheduleConfig,
+)
+from vadcl_tpu.data import ClipDataset, HostDataLoader
+from vadcl_tpu.data.synthetic import make_latent_anomaly_dataset
+from vadcl_tpu.eval.predict import evaluate_videos, make_window_scorer
+from vadcl_tpu.models.backbone import VADModel
+from vadcl_tpu.train.loop import train
+
+SIZE = 32
+K = 256
+STEPS = 300
+
+
+@pytest.mark.slow
+def test_cluster_guided_decode_widens_anomaly_margin(tmp_path):
+    train_dir, test_dir, label_dir = make_latent_anomaly_dataset(
+        str(tmp_path), num_train_videos=4, num_test_videos=2,
+        frames_per_video=32, size=SIZE,
+    )
+    mc = ModelConfig(
+        embed_dim=32,
+        encoder_depths=(1, 1), encoder_heads=(2, 4),
+        decoder_depths=(1, 1), decoder_heads=(4, 2),
+        use_cluster=True, compactness=False,
+        cluster=ClusterConfig(
+            feature_clusters=K, feature_alpha=16.0,
+            space_clusters=8, space_size=SIZE // 8,
+        ),
+    )
+    cfg = Config(
+        model=mc,
+        data=DataConfig(frame_num=4, image_size=(SIZE, SIZE)),
+        optim=OptimConfig(lr=3e-4, min_lr=1e-5, epochs=8),
+        # cluster terms off during the recon-training phase: the codebook is
+        # seeded from the trained latents below
+        schedule=ScheduleConfig(cluster_weight=0.0, space_weight=0.0),
+        batch_size_per_device=8,
+        output_dir=str(tmp_path / "run"),
+        save_every_epochs=0,
+        seed=0,
+    )
+    ds = ClipDataset(train_dir, frame_num=4, size=(SIZE, SIZE))
+    loader = HostDataLoader(ds, batch_size=8, seed=0, num_workers=2)
+    state = train(cfg, loader, max_steps=STEPS)
+
+    model_plain = VADModel(config=mc)
+    variables = {"params": state.params, **state.extras}
+
+    # -- seed the codebook with normal latent tokens (head-LN space, the
+    # space the centers live in — models/cluster_heads.py:53).  get_clip
+    # yields uint8 (the loader's wire format; the TRAIN STEP normalizes on
+    # device) — raw model.apply expects [0, 1], so normalize here.
+    # clips sampled across ALL train videos so the codebook spans both
+    # normal motion patterns, not just the first video's
+    harvest = np.linspace(0, len(ds) - 1, 24).astype(int)
+    clips = (
+        jnp.asarray(
+            np.stack([ds.get_clip(int(i)) for i in harvest]), jnp.float32
+        )
+        / 255.0
+    )
+    feats = []
+    for i in range(0, 24, 8):
+        out = model_plain.apply(variables, clips[i : i + 8])
+        feats.append(np.asarray(out.feature))
+    feats = np.concatenate(feats)
+    idx = np.random.RandomState(0).choice(len(feats), size=K, replace=False)
+    params2 = dict(state.params)
+    params2["cluster1"] = dict(params2["cluster1"])
+    params2["cluster1"]["cluster_center"] = jnp.asarray(
+        feats[idx], jnp.float32
+    )
+    variables2 = {"params": params2, **state.extras}
+    model_compact = VADModel(
+        config=dataclasses.replace(mc, compactness=True)
+    )
+
+    test_ds = ClipDataset(
+        test_dir, frame_num=4, size=(SIZE, SIZE),
+        label_root=label_dir, istest=True,
+    )
+
+    def run_eval(model, variables):
+        def apply_fn(c):
+            return model.apply(variables, c).recon
+
+        scorer = make_window_scorer(
+            apply_fn, 4, predict=False, batch_windows=8
+        )
+        auc, per_scene, _ = evaluate_videos(
+            scorer, test_ds.iter_test_videos(), frame_num=4, predict=False,
+            protocol="nonoverlap",
+        )
+        return auc
+
+    auc_plain = run_eval(model_plain, variables)
+    auc_compact = run_eval(model_compact, variables2)
+
+    # the fixture must NOT saturate (the bright-square fixture hits 0.99 and
+    # cannot rank ablations) ...
+    assert 0.55 < auc_plain < 0.95, auc_plain
+    # ... and the clustering-guided decode must WIDEN the margin — the
+    # reference's ablation direction (cluster-on >= cluster-off).  Measured
+    # +0.005 at these seeds (0.738 -> 0.743), the same effect size as the
+    # reference's own ablation (+0.006: 0.722 -> 0.728, 实验记录.xlsx rows
+    # 5/11); deterministic under the fixed seeds.
+    assert auc_compact > auc_plain, (auc_plain, auc_compact)
+
+    # occupancy statistics behave: normal data occupies a MINORITY of the
+    # codebook (structure, not uniform hash), with no collapsed monopoly
+    out_n = model_compact.apply(variables2, clips[:8])
+    assign = np.asarray(out_n.cluster_assign).reshape(-1, K)
+    hist = np.bincount(assign.argmax(-1), minlength=K)
+    used_frac = float(np.mean(hist > 0))
+    top1 = float(hist.max()) / float(hist.sum())
+    assert 0.02 < used_frac < 0.7, used_frac
+    assert top1 < 0.2, top1
+
+    # latent-structure separation: anomalous tokens sit farther from the
+    # normal codebook than normal tokens do (the mechanism the AUC gain
+    # rides on).  Compare min-center-distance on the anomalous middle span
+    # vs the normal spans of the test videos.
+    frames, labels, _ = test_ds.get_test_video(0)
+    fnum = 4
+
+    def min_dists(clip_batch):
+        out = model_compact.apply(variables2, jnp.asarray(clip_batch))
+        f = np.asarray(out.feature)  # (N, C) head-LN space
+        d2 = (
+            (f[:, None, :] - feats[idx][None, :, :]) ** 2
+        ).sum(-1)
+        return np.sqrt(np.maximum(d2, 0.0)).min(-1)
+
+    norm01 = frames.astype(np.float32) / 255.0
+    normal_clip = norm01[0:fnum][None]
+    anom_start = len(frames) // 2 - fnum // 2
+    anom_clip = norm01[anom_start : anom_start + fnum][None]
+    assert labels[0] == 0 and labels[anom_start] == 1
+    d_norm = float(min_dists(normal_clip).mean())
+    d_anom = float(min_dists(anom_clip).mean())
+    assert d_anom > d_norm * 1.05, (d_norm, d_anom)

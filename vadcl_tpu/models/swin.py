@@ -54,7 +54,9 @@ class WindowAttention3D(nn.Module):
     proj_drop: float = 0.0
     fused: bool = False  # fused Pallas kernel (inference path; no VJP yet)
     n_windows: int = 1  # windows per image, needed by the fused kernel
-    # "base" (trainable) | "packed" (inference-only) | "fold" (trainable;
+    # "base" (trainable) | "packed" (inference-only) | "fold_packed"
+    # (inference-only: fold layout + head-packed in-lane dots) | "fold"
+    # (trainable;
     # partition/reverse folded into the kernel's BlockSpecs — SwinBlock3D
     # passes the un-partitioned 5D tensor via ``runtime_window``) |
     # "fold_block" (fold + the whole-block MLP tail via ``mlp=``; opt-in,
@@ -117,13 +119,28 @@ class WindowAttention3D(nn.Module):
                     folded_block_attention_trainable,
                     folded_full_block_trainable,
                     folded_window_attention_trainable,
+                    fused_window_attention_folded_packed,
                 )
                 from vadcl_tpu.ops.window import pallas_interpret
                 from vadcl_tpu.parallel.tp import shard_windows_call
 
                 interp = pallas_interpret()
                 nh, rw = self.num_heads, runtime_window
-                if ln is not None and mlp is not None:
+                if self.attn_kernel == "fold_packed":
+                    # fold layout + head-packed dots (inference-only, no
+                    # VJP): heads stay in the lane dim, killing the per-head
+                    # relayout copies; LN + residual fold in when ``ln``
+                    ln_s = ln[0] if ln is not None else None
+                    ln_b = ln[1] if ln is not None else None
+
+                    def fold_call(xl, ml, _ls=ln_s, _lb=ln_b):
+                        return fused_window_attention_folded_packed(
+                            xl, qkv_w, qkv_b, proj_w, proj_b, bias, ml,
+                            nh, rw, scale, interp,
+                            ln_scale=_ls, ln_bias=_lb,
+                            residual=_ls is not None,
+                        )
+                elif ln is not None and mlp is not None:
                     # whole Swin block in one kernel each way: LN1 + attn +
                     # residual + LN2 + MLP + residual (the backward chains
                     # MLP-vjp -> attn-vjp -> LN1-vjp entirely in VMEM)
@@ -277,18 +294,22 @@ class SwinBlock3D(nn.Module):
         # it), and dropout/drop-path are identity
         fold_front = (
             self.fused
-            and self.attn_kernel in ("fold", "fold_block")
+            and self.attn_kernel in ("fold", "fold_block", "fold_packed")
             and not (pad_d or pad_h or pad_w)
             and (deterministic or (self.drop == 0.0 and self.drop_path == 0.0))
         )
         if fold_front:
             from vadcl_tpu.ops.pallas_attn_fold import (
                 folded_attention_applicable,
+                folded_packed_applicable,
             )
 
-            fold_front = folded_attention_applicable(
-                (D, H, W), window_size, self.num_heads
+            _gate = (
+                folded_packed_applicable
+                if self.attn_kernel == "fold_packed"
+                else folded_attention_applicable
             )
+            fold_front = _gate((D, H, W), window_size, self.num_heads)
 
         shortcut = x
         if fold_front:
@@ -317,14 +338,20 @@ class SwinBlock3D(nn.Module):
             * (Wp // window_size[2])
         )
         use_fold = False
-        if self.fused and self.attn_kernel in ("fold", "fold_block"):
+        if self.fused and self.attn_kernel in (
+            "fold", "fold_block", "fold_packed"
+        ):
             from vadcl_tpu.ops.pallas_attn_fold import (
                 folded_attention_applicable,
+                folded_packed_applicable,
             )
 
-            use_fold = folded_attention_applicable(
-                (Dp, Hp, Wp), window_size, self.num_heads
+            _gate = (
+                folded_packed_applicable
+                if self.attn_kernel == "fold_packed"
+                else folded_attention_applicable
             )
+            use_fold = _gate((Dp, Hp, Wp), window_size, self.num_heads)
         attn = WindowAttention3D(
             dim=C,
             window_size=self.window_size,  # configured size; index sliced to N

@@ -42,6 +42,7 @@ the original XLA-partition + flash backward (ops/pallas_attn_bwd.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -55,9 +56,28 @@ Tri = Tuple[int, int, int]
 # allocates 31.7 MB of scoped vmem — ~13 live (wins*nH, N⌈8⌉, N⌈128⌉) fp32
 # score-size tiles (scores, post-bias copy, probabilities, lane-padded q/k/v
 # stacks and output).  Budget the per-group estimate well under Mosaic's
-# 16 MB scoped-vmem stack.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# 16 MB scoped-vmem stack.  Both knobs are env-tunable for on-chip A/B:
+# VADCL_ATTN_VMEM_BUDGET_MB sizes the window-group picker,
+# VADCL_ATTN_VMEM_LIMIT_MB raises Mosaic's per-kernel VMEM ceiling to match
+# (v5e has 128 MB physical VMEM; the 16 MB scoped default is conservative).
+_VMEM_BUDGET = (
+    int(os.environ.get("VADCL_ATTN_VMEM_BUDGET_MB", "12")) * 1024 * 1024
+)
+_VMEM_LIMIT_BYTES = (
+    int(os.environ.get("VADCL_ATTN_VMEM_LIMIT_MB", "0")) * 1024 * 1024 or None
+)
 _LIVE_TILES = 13
+
+
+def _compiler_params():
+    """Per-kernel Mosaic params; only set when the env raises the ceiling."""
+    if _VMEM_LIMIT_BYTES is None:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+    }
 
 
 def _pad_to(v: int, m: int) -> int:
@@ -155,6 +175,7 @@ def _fold_kernel(
     fuse_ln: bool,
     residual: bool,
     tail=None,  # optional (ln2_s, ln2_b, w1, b1, w2, b2) refs: MLP tail
+    has_mask: bool = True,
 ):
     wd, wh, ww = window
     _, _, _, wp, c = x_ref.shape
@@ -168,6 +189,15 @@ def _fold_kernel(
     )
     gw = _pick_gw(wins, num_heads, n, extra)
     bias = bias_ref[:]  # (nH, n, n)
+    # Unshifted blocks (mask statically absent — half of every stage's
+    # depth): pre-tile the bias once per cell so the group loop adds it in
+    # ONE vector op on the batched score tensor, with no per-window slice /
+    # re-concat pass and no zeros-mask DMA or add.
+    bias_t = (
+        None
+        if has_mask
+        else (bias if gw == 1 else jnp.concatenate([bias] * gw, 0))
+    )
     slabs = [[] for _ in range(npairs)]  # tail mode: per-plane y1 pieces
 
     # All row/window bookkeeping below is strictly 2D concats + slices:
@@ -241,14 +271,17 @@ def _fold_kernel(
             )
             * scale
         )  # (gw*nH, n, n)
-        parts = []
-        for w in range(gw):
-            sw = jax.lax.slice_in_dim(
-                s4, w * num_heads, (w + 1) * num_heads, axis=0
-            )
-            mw = jax.lax.expand_dims(mask_ref[0, g * gw + w], (0,))
-            parts.append(sw + bias + mw)
-        s4 = jnp.concatenate(parts, 0)
+        if has_mask:
+            parts = []
+            for w in range(gw):
+                sw = jax.lax.slice_in_dim(
+                    s4, w * num_heads, (w + 1) * num_heads, axis=0
+                )
+                mw = jax.lax.expand_dims(mask_ref[0, g * gw + w], (0,))
+                parts.append(sw + bias + mw)
+            s4 = jnp.concatenate(parts, 0)
+        else:
+            s4 = s4 + bias_t
         p4 = jax.nn.softmax(s4, axis=-1).astype(dtype)
         o4 = jax.lax.dot_general(
             p4, v4, (((2,), (1,)), ((0,), (0,))),
@@ -326,6 +359,287 @@ def _fold_kernel(
                 out_ref[0, d, h] = jax.lax.slice_in_dim(
                     y, p * wp, (p + 1) * wp, axis=0
                 ).astype(out_ref.dtype)
+
+
+def folded_packed_applicable(
+    grid_shape: Tri, window: Tri, num_heads: int
+) -> bool:
+    """Gate for the fold+packed kernel: window-divisible dims and the
+    per-window packed score tensors (n, nH*n) within the VMEM budget."""
+    d, h, w = grid_shape
+    wd, wh, ww = window
+    if d % wd or h % wh or w % ww:
+        return False
+    n = wd * wh * ww
+    L = num_heads * n
+    # ~6 live fp32 (n, L) tiles (s, bias+mask copy, m, e, dbc, p) + the two
+    # bf16 (L, c) masked K/V row-tiles (c <= 128 lanes padded)
+    est = 6 * _pad_to(n, 8) * _pad_to(L, 128) * 4 + 2 * _pad_to(L, 8) * 128 * 2
+    return est <= _VMEM_BUDGET
+
+
+def _fold_packed_kernel(
+    x_ref,  # (1, wd, wh, Wp, C) one row of windows (compute dtype)
+    qkv_w_ref,  # (C, 3C)
+    qkv_b_ref,  # (1, 3C) fp32
+    proj_w_ref,  # (C, C)
+    proj_b_ref,  # (1, C) fp32
+    ln_s_ref,  # (1, C) fp32 (unused when not fuse_ln)
+    ln_b_ref,  # (1, C) fp32
+    biasp_ref,  # (N, nH*N) fp32 rel-pos bias, heads packed in lanes
+    mask_ref,  # (1, WINS, N, N) fp32 (or (1, 1, N, N) when has_mask=False)
+    out_ref,  # (1, wd, wh, Wp, C)
+    *,
+    num_heads: int,
+    scale: float,
+    window: Tri,
+    fuse_ln: bool,
+    residual: bool,
+    has_mask: bool = True,
+):
+    """Fold layout + head-packed math (inference-only; no VJP).
+
+    The plain fold kernel's per-head dots contract/emit head_dim=16 lanes
+    (~12.5% MXU K-efficiency) and pay hundreds of per-head slice/concat
+    relayouts per cell (_wh_stack / owins).  Here heads stay in the LANE
+    dimension end to end, exactly like ops/pallas_attn.py:_attn_kernel_packed:
+    scores for all heads of a window are ONE ``(n, C) x (C→(L, C) masked
+    row-tile)`` dot, blockwise softmax comes from indicator matmuls, and
+    attn@V is ONE ``(n, L) x (L, C)`` dot whose output already has heads
+    merged — the per-head stacking copies disappear entirely.  ~2.8x padded
+    kernel FLOPs for ~6x fewer/fatter MXU ops and zero relayouts; composes
+    with the fold win (no partition/reverse HBM round-trips, LN + residual
+    in-kernel).
+    """
+    wd, wh, ww = window
+    _, _, _, wp, c = x_ref.shape
+    wins = wp // ww
+    n = wd * wh * ww
+    hd = c // num_heads
+    dtype = x_ref.dtype
+    npairs = wd * wh
+    L = num_heads * n
+
+    row_raw = jnp.concatenate(
+        [x_ref[0, d, h] for d in range(wd) for h in range(wh)], axis=0
+    )  # (r, c), token order (d, h, wp)
+    if fuse_ln:
+        from vadcl_tpu.ops.pallas_mlp import _ln_f32
+
+        row, _, _ = _ln_f32(
+            row_raw.astype(jnp.float32), ln_s_ref[0, :], ln_b_ref[0, :]
+        )
+        row = row.astype(dtype)
+    else:
+        row = row_raw
+
+    # qkv for the whole row in one dot — kept fp32 so the per-window q scale
+    # and k/v casts match _attn_kernel_packed's numerics exactly
+    qkv_row = (
+        jnp.dot(row, qkv_w_ref[:], preferred_element_type=jnp.float32)
+        + qkv_b_ref[0, :]
+    )  # (r, 3c) fp32
+
+    # head-ownership mask for the row-tiled K/V (L, C) and the (L, nH) block
+    # indicator for the softmax denominators (ops/pallas_attn.py:149-157)
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (L, c), 0) // n
+    ch_head = jax.lax.broadcasted_iota(jnp.int32, (L, c), 1) // hd
+    own = row_head == ch_head
+    blk = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, num_heads), 0) // n
+        == jax.lax.broadcasted_iota(jnp.int32, (L, num_heads), 1)
+    ).astype(jnp.float32)
+    biasp = biasp_ref[:]  # (n, L)
+
+    def win_slice(mat, w):
+        return jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    mat, p * wp + w * ww, p * wp + (w + 1) * ww, axis=0
+                )
+                for p in range(npairs)
+            ],
+            axis=0,
+        )
+
+    owins = []
+    for w in range(wins):
+        qkvw = win_slice(qkv_row, w)  # (n, 3c) fp32
+        q = (qkvw[:, :c] * scale).astype(dtype)
+        k = qkvw[:, c : 2 * c].astype(dtype)
+        v = qkvw[:, 2 * c :].astype(dtype)
+        ktile = jnp.where(own, jnp.concatenate([k] * num_heads, axis=0), 0)
+        s = jax.lax.dot_general(
+            q, ktile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, L)
+        if has_mask:
+            s = s + biasp + jnp.concatenate(
+                [mask_ref[0, w]] * num_heads, axis=1
+            )
+        else:
+            s = s + biasp
+        # per-head row max, broadcast back across the head's lane block
+        m = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.max(
+                        jax.lax.slice_in_dim(s, h * n, (h + 1) * n, axis=1),
+                        axis=1,
+                        keepdims=True,
+                    ),
+                    (n, n),
+                )
+                for h in range(num_heads)
+            ],
+            axis=1,
+        )  # (n, L)
+        e = jnp.exp(s - m)
+        sums = jnp.dot(e, blk, preferred_element_type=jnp.float32)  # (n, nH)
+        dbc = jax.lax.dot_general(
+            1.0 / sums, blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, L)
+        p = (e * dbc).astype(dtype)
+        vtile = jnp.where(own, jnp.concatenate([v] * num_heads, axis=0), 0)
+        o = jax.lax.dot_general(
+            p, vtile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (n, c) — heads already merged in lanes
+        owins.append(o.astype(dtype))
+
+    # reassemble the row in (d, h, w_local, ww) token order, ONE proj dot for
+    # the whole row, then per-plane residual + store (fold epilogue, gw=wins)
+    orow = jnp.concatenate(
+        [
+            jax.lax.slice_in_dim(owins[w], p * ww, (p + 1) * ww, axis=0)
+            for p in range(npairs)
+            for w in range(wins)
+        ],
+        axis=0,
+    )  # (npairs*wins*ww, c)
+    o2 = (
+        jnp.dot(orow, proj_w_ref[:], preferred_element_type=jnp.float32)
+        + proj_b_ref[0, :]
+    )
+    for d in range(wd):
+        for h in range(wh):
+            p = d * wh + h
+            o_slice = jax.lax.slice_in_dim(o2, p * wp, (p + 1) * wp, axis=0)
+            if residual:
+                o_slice = o_slice + x_ref[0, d, h].astype(jnp.float32)
+            out_ref[0, d, h] = o_slice.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window", "scale", "interpret", "residual"),
+)
+def fused_window_attention_folded_packed(
+    x: jax.Array,  # (B, Dp, Hp, Wp, C) — already padded & (if shifted) rolled
+    qkv_w: jax.Array,
+    qkv_b: Optional[jax.Array],
+    proj_w: jax.Array,
+    proj_b: jax.Array,
+    bias: jax.Array,  # (nH, N, N) fp32
+    mask: Optional[jax.Array],  # (nW, N, N) fp32 or None
+    num_heads: int,
+    window: Tri,
+    scale: float,
+    interpret: bool = False,
+    ln_scale: Optional[jax.Array] = None,
+    ln_bias: Optional[jax.Array] = None,
+    residual: bool = False,
+) -> jax.Array:
+    """Inference-only fold+packed attention (no VJP — trainers use "fold")."""
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window
+    assert d % wd == 0 and h % wh == 0 and w % ww == 0, (
+        "folded kernel requires window-divisible dims (pad first); use "
+        "folded_packed_applicable() to gate"
+    )
+    nd, nhb, wins = d // wd, h // wh, w // ww
+    n = wd * wh * ww
+    nrows = nd * nhb
+    dtype = x.dtype
+    L = num_heads * n
+
+    qkv_b32 = (
+        qkv_b.astype(jnp.float32)
+        if qkv_b is not None
+        else jnp.zeros((3 * c,), jnp.float32)
+    ).reshape(1, -1)
+    # bias packed once in XLA: (nH, n, n) -> (n, nH*n)
+    bias_packed = jnp.transpose(bias.astype(jnp.float32), (1, 0, 2)).reshape(
+        n, L
+    )
+    has_mask = mask is not None
+    if has_mask:
+        masks = mask.astype(jnp.float32).reshape(nrows, wins, n, n)
+        mask_spec = pl.BlockSpec(
+            (1, wins, n, n),
+            lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        masks = jnp.zeros((1, 1, n, n), jnp.float32)
+        mask_spec = pl.BlockSpec(
+            (1, 1, n, n),
+            lambda bi, di, hi: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    fuse_ln = ln_scale is not None
+    ln_s = (
+        ln_scale.astype(jnp.float32)
+        if fuse_ln
+        else jnp.ones((c,), jnp.float32)
+    ).reshape(1, -1)
+    ln_b = (
+        ln_bias.astype(jnp.float32)
+        if fuse_ln
+        else jnp.zeros((c,), jnp.float32)
+    ).reshape(1, -1)
+
+    kernel = functools.partial(
+        _fold_packed_kernel, num_heads=num_heads, scale=scale, window=window,
+        fuse_ln=fuse_ln, residual=residual, has_mask=has_mask,
+    )
+    row_spec = pl.BlockSpec(
+        (1, wd, wh, w, c),
+        lambda bi, di, hi: (bi, di, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nd, nhb),
+        in_specs=[
+            row_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # qkv_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # proj_b
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_s
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
+            pl.BlockSpec(
+                (n, L), lambda bi, di, hi: (0, 0), memory_space=pltpu.VMEM
+            ),
+            mask_spec,
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), dtype),
+        interpret=interpret,
+        **_compiler_params(),
+    )(
+        x,
+        qkv_w.astype(dtype),
+        qkv_b32,
+        proj_w.astype(dtype),
+        proj_b.astype(jnp.float32).reshape(1, -1),
+        ln_s,
+        ln_b,
+        bias_packed,
+        masks,
+    )
 
 
 # The backward holds roughly 1.5x the forward's live score-size tiles at a
@@ -407,6 +721,7 @@ def _fold_bwd_kernel(
     fuse_ln: bool,
     residual: bool,
     tail_refs=None,  # whole-block mode: dict of MLP-tail refs (see _blk_bwd)
+    has_mask: bool = True,
 ):
     wd, wh, ww = window
     _, _, _, wp, c = x_ref.shape
@@ -418,6 +733,11 @@ def _fold_bwd_kernel(
     gw = _pick_gw_bwd(wins, num_heads, n, window, c, ch)
     npairs = wd * wh
     bias = bias_ref[:]
+    bias_t = (
+        None
+        if has_mask
+        else (bias if gw == 1 else jnp.concatenate([bias] * gw, 0))
+    )
 
     first = jnp.logical_and(
         jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
@@ -506,14 +826,17 @@ def _fold_bwd_kernel(
             )
             * scale
         )
-        parts = []
-        for w in range(gw):
-            sw = jax.lax.slice_in_dim(
-                s4, w * num_heads, (w + 1) * num_heads, axis=0
-            )
-            mw = jax.lax.expand_dims(mask_ref[0, g * gw + w], (0,))
-            parts.append(sw + bias + mw)
-        s4 = jnp.concatenate(parts, 0)
+        if has_mask:
+            parts = []
+            for w in range(gw):
+                sw = jax.lax.slice_in_dim(
+                    s4, w * num_heads, (w + 1) * num_heads, axis=0
+                )
+                mw = jax.lax.expand_dims(mask_ref[0, g * gw + w], (0,))
+                parts.append(sw + bias + mw)
+            s4 = jnp.concatenate(parts, 0)
+        else:
+            s4 = s4 + bias_t
         p4f = jax.nn.softmax(s4, axis=-1)  # fp32
         p4 = p4f.astype(dtype)
         o4 = jax.lax.dot_general(
@@ -806,10 +1129,21 @@ def _fold_bwd_call(
     nrows = nd * nhb
     dtype = x.dtype
     nH = num_heads
-    if mask is None:
-        masks = jnp.zeros((nrows, wins, n, n), jnp.float32)
-    else:
+    has_mask = mask is not None
+    if has_mask:
         masks = mask.astype(jnp.float32).reshape(nrows, wins, n, n)
+        mask_spec = pl.BlockSpec(
+            (1, wins, n, n),
+            lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        masks = jnp.zeros((1, 1, n, n), jnp.float32)
+        mask_spec = pl.BlockSpec(
+            (1, 1, n, n),
+            lambda bi, di, hi: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     row_spec = pl.BlockSpec(
         (1, wd, wh, w, c),
@@ -852,11 +1186,7 @@ def _fold_bwd_call(
             lambda bi, di, hi: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, wins, n, n),
-            lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        mask_spec,
     ]
     operands = [
         x,
@@ -873,7 +1203,7 @@ def _fold_bwd_call(
     if tail is None:
         kernel = functools.partial(
             _fold_bwd_kernel, num_heads=num_heads, scale=scale, window=window,
-            fuse_ln=fuse_ln, residual=residual,
+            fuse_ln=fuse_ln, residual=residual, has_mask=has_mask,
         )
     else:
         proj_b, ln2_s, ln2_b, w1, b1, w2 = tail
@@ -914,7 +1244,7 @@ def _fold_bwd_call(
                 x_r, do_r, qw_r, qb_r, pw_r, ls_r, lb_r, bi_r, mk_r,
                 dx_r, dqw_r, dqb_r, dpw_r, dpb_r, dbi_r, dls_r, dlb_r,
                 num_heads=num_heads, scale=scale, window=window,
-                fuse_ln=fuse_ln, residual=residual,
+                fuse_ln=fuse_ln, residual=residual, has_mask=has_mask,
                 tail_refs={
                     "proj_b": pb_r, "ln2_s": l2s_r, "ln2_b": l2b_r,
                     "w1": w1_r, "b1": b1_r, "w2": w2_r,
@@ -930,6 +1260,7 @@ def _fold_bwd_call(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=interpret,
+        **_compiler_params(),
     )(*operands)
 
 
@@ -975,10 +1306,24 @@ def fused_window_attention_folded(
     ).reshape(1, -1)
     # window enumeration order is (d, h, w) (ops/window.py:window_partition),
     # so row (di, hi) covers mask rows [(di*nhb+hi)*wins, +wins)
-    if mask is None:
-        masks = jnp.zeros((nrows, wins, n, n), jnp.float32)
-    else:
+    has_mask = mask is not None
+    if has_mask:
         masks = mask.astype(jnp.float32).reshape(nrows, wins, n, n)
+        mask_spec = pl.BlockSpec(
+            (1, wins, n, n),
+            lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        # unshifted block: the kernel never reads the mask (has_mask=False
+        # specialization) — ship one n×n zeros tile instead of a full
+        # (rows, wins, n, n) zeros tensor per cell
+        masks = jnp.zeros((1, 1, n, n), jnp.float32)
+        mask_spec = pl.BlockSpec(
+            (1, 1, n, n),
+            lambda bi, di, hi: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     fuse_ln = ln_scale is not None
     ln_s = (
         ln_scale.astype(jnp.float32)
@@ -994,7 +1339,7 @@ def fused_window_attention_folded(
     if mlp is None:
         kernel = functools.partial(
             _fold_kernel, num_heads=num_heads, scale=scale, window=window,
-            fuse_ln=fuse_ln, residual=residual,
+            fuse_ln=fuse_ln, residual=residual, has_mask=has_mask,
         )
     else:
         def kernel(x_r, qw_r, qb_r, pw_r, pb_r, ls_r, lb_r, bi_r, mk_r,
@@ -1002,7 +1347,7 @@ def fused_window_attention_folded(
             _fold_kernel(
                 x_r, qw_r, qb_r, pw_r, pb_r, ls_r, lb_r, bi_r, mk_r, out_r,
                 num_heads=num_heads, scale=scale, window=window,
-                fuse_ln=fuse_ln, residual=residual,
+                fuse_ln=fuse_ln, residual=residual, has_mask=has_mask,
                 tail=(l2s_r, l2b_r, w1_r, b1_r, w2_r, b2_r),
             )
 
@@ -1023,11 +1368,7 @@ def fused_window_attention_folded(
             lambda bi, di, hi: (0, 0, 0),  # same block every cell
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, wins, n, n),
-            lambda bi, di, hi, _nh=nhb: (di * _nh + hi, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        mask_spec,
     ]
     operands = [
         x,
@@ -1062,6 +1403,7 @@ def fused_window_attention_folded(
         ),
         out_shape=jax.ShapeDtypeStruct((b, d, h, w, c), dtype),
         interpret=interpret,
+        **_compiler_params(),
     )(*operands)
 
 

@@ -96,11 +96,20 @@ def measure_attn_kernels(iters: int = 8) -> Dict[str, float]:
 
         return run
 
+    from vadcl_tpu.ops.pallas_attn_fold import (
+        fused_window_attention_folded_packed,
+    )
+
     return {
         "base": timed(windowed(fused_window_attention)),
         "packed": timed(windowed(fused_window_attention_packed)),
         "fold": timed(
             lambda a: fused_window_attention_folded(
+                a, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH, window, sc
+            )
+        ),
+        "fold_packed": timed(
+            lambda a: fused_window_attention_folded_packed(
                 a, qkv_w, qkv_b, proj_w, proj_b, bias, None, nH, window, sc
             )
         ),
@@ -111,14 +120,17 @@ def pick_attn_kernel(trainable_only: bool = False) -> str:
     """Measure on THIS device and return the fastest kernel name, requiring
     a clear (>5%) win before switching off the trainable default.  CPU has
     no fused path — returns "base".  ``trainable_only`` excludes ``packed``
-    (it has no VJP)."""
+    and ``fold_packed`` (they have no VJP)."""
     import jax
 
     if jax.default_backend() == "cpu":
         return "base"
     times = measure_attn_kernels()
     if trainable_only:
-        times = {k: v for k, v in times.items() if k != "packed"}
+        times = {
+            k: v for k, v in times.items()
+            if k not in ("packed", "fold_packed")
+        }
     best = min(times, key=times.get)
     return best if times[best] < 0.95 * times["base"] else "base"
 
@@ -155,7 +167,10 @@ def tuned_attn_kernel(
     try:
         times = measure_attn_kernels()
         pool = (
-            {k: v for k, v in times.items() if k != "packed"}
+            {
+                k: v for k, v in times.items()
+                if k not in ("packed", "fold_packed")
+            }
             if trainable_only
             else times
         )

@@ -362,3 +362,125 @@ def test_swin_block_fold_param_tree_and_fallback():
         v = jax.eval_shape(blk.init, jax.random.key(0), x)
         trees.append(jax.tree_util.tree_structure(v))
     assert all(t == trees[0] for t in trees[1:])
+
+
+# ---------------------------------------------------------------------------
+# fold_packed: fold layout + head-packed in-lane dots
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "geom",
+    [
+        # flagship-structure rows: head_dim=16 (C/nH = 96/6), N=98 — the
+        # geometry the packing targets; grid (1, 1, 2), 4-window rows
+        ((2, 7, 7), (2, 14, 28), 96, 6),
+        # small odd case: N=49 non-sublane-aligned, single-window rows
+        ((1, 7, 7), (1, 14, 14), 24, 2),
+    ],
+)
+@pytest.mark.parametrize("shifted", [False, True])
+def test_folded_packed_matches_xla(geom, shifted):
+    from vadcl_tpu.ops.pallas_attn_fold import (
+        folded_packed_applicable,
+        fused_window_attention_folded_packed,
+    )
+
+    ws, dims, C, nH = geom
+    D, H, W = dims
+    x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask = _setup(
+        ws, dims, C, nH, shifted, seed=13
+    )
+    B = x.shape[0]
+    assert folded_packed_applicable(dims, ws, nH)
+
+    xw = window_partition(x, ws)
+    want = window_reverse(
+        window_attention(xw, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH,
+                         mask=mask),
+        ws, B, D, H, W,
+    )
+    got = fused_window_attention_folded_packed(
+        x, qkv_w, qkv_b, proj_w, proj_b,
+        _bias_from_table(tbl, idx, N, nH),
+        jnp.asarray(mask) if mask is not None else None,
+        num_heads=nH, window=ws, scale=(C // nH) ** -0.5, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_folded_packed_block_front_matches_xla(shifted):
+    """fold_packed with fused LN + residual == x + attn(LN(x)) in XLA."""
+    from vadcl_tpu.ops.pallas_attn_fold import (
+        fused_window_attention_folded_packed,
+    )
+
+    ws, dims, C, nH = (2, 7, 7), (2, 14, 28), 96, 6
+    D, H, W = dims
+    x, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, N, mask = _setup(
+        ws, dims, C, nH, shifted, seed=17
+    )
+    B = x.shape[0]
+    rng = np.random.RandomState(19)
+    ln_s = jnp.asarray(1.0 + rng.randn(C) * 0.1, jnp.float32)
+    ln_b = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+
+    def ln(v):
+        v32 = v.astype(jnp.float32)
+        mu = jnp.mean(v32, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(v32 * v32, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        return (v32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+
+    xw = window_partition(ln(x).astype(jnp.float32), ws)
+    want = x + window_reverse(
+        window_attention(xw, qkv_w, qkv_b, proj_w, proj_b, tbl, idx, nH,
+                         mask=mask),
+        ws, B, D, H, W,
+    )
+    got = fused_window_attention_folded_packed(
+        x, qkv_w, qkv_b, proj_w, proj_b,
+        _bias_from_table(tbl, idx, N, nH),
+        jnp.asarray(mask) if mask is not None else None,
+        num_heads=nH, window=ws, scale=(C // nH) ** -0.5, interpret=True,
+        ln_scale=ln_s, ln_bias=ln_b, residual=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_folded_packed_no_qkv_bias():
+    from vadcl_tpu.ops.pallas_attn_fold import (
+        fused_window_attention_folded_packed,
+    )
+
+    ws, dims, C, nH = (2, 7, 7), (2, 14, 14), 24, 4
+    x, qkv_w, _, proj_w, proj_b, tbl, idx, N, _ = _setup(
+        ws, dims, C, nH, False, seed=23
+    )
+    D, H, W = dims
+    xw = window_partition(x, ws)
+    want = window_reverse(
+        window_attention(xw, qkv_w, None, proj_w, proj_b, tbl, idx, nH,
+                         mask=None),
+        ws, 2, D, H, W,
+    )
+    got = fused_window_attention_folded_packed(
+        x, qkv_w, None, proj_w, proj_b, _bias_from_table(tbl, idx, N, nH),
+        None, num_heads=nH, window=ws, scale=(C // nH) ** -0.5, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_folded_packed_applicability_gate():
+    from vadcl_tpu.ops.pallas_attn_fold import folded_packed_applicable
+
+    # flagship stage-0 (C=96, nH=6) and stage-1 (C=192, nH=12) shapes pass
+    assert folded_packed_applicable((2, 56, 56), (2, 7, 7), 6)
+    assert folded_packed_applicable((2, 28, 28), (2, 7, 7), 12)
+    # non-divisible dims reject
+    assert not folded_packed_applicable((2, 15, 28), (2, 7, 7), 6)

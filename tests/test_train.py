@@ -309,3 +309,35 @@ def test_dropout_active_when_configured():
     l1 = float(loss_fn(params, extras, clip, jnp.asarray(0))[0])
     l2 = float(loss_fn(params, extras, clip, jnp.asarray(1))[0])
     assert l1 != l2  # different dropout draws per step
+
+
+def test_attn_kernel_validated_at_config():
+    """Unknown kernel names are a config error, not a deep-trace failure
+    (VERDICT r4 item 3)."""
+    with pytest.raises(ValueError, match="unknown attn_kernel"):
+        dataclasses.replace(TINY_MODEL, attn_kernel="flod")
+    # every documented kernel constructs fine
+    from vadcl_tpu.core.config import ATTN_KERNELS
+
+    for k in ATTN_KERNELS:
+        dataclasses.replace(TINY_MODEL, attn_kernel=k)
+
+
+def test_inference_only_kernel_rejected_by_train_step():
+    """make_train_step rejects VJP-less kernels regardless of model_axis —
+    previously only the TP branch guarded, so attn_kernel='packed' training
+    died deep inside JAX on the missing VJP (VERDICT r4 item 3)."""
+    from vadcl_tpu.core.config import TRAINABLE_ATTN_KERNELS
+
+    for bad in ("packed",):
+        cfg = dataclasses.replace(
+            TINY,
+            model=dataclasses.replace(
+                TINY_MODEL, fused_attention=True, attn_kernel=bad
+            ),
+        )
+        model = VADModel(config=cfg.model)
+        with pytest.raises(ValueError, match="inference-only"):
+            make_train_step(model, cfg, tx=None, steps_per_epoch=10)
+    # trainable kernels pass the guard (build succeeds with a real tx)
+    assert "fold" in TRAINABLE_ATTN_KERNELS

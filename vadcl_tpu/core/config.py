@@ -94,6 +94,20 @@ class ModelConfig:
                 "attn_drop_rate=0 or fused_attention=False "
                 f"(got attn_drop_rate={self.attn_drop_rate})"
             )
+        if self.attn_kernel not in ATTN_KERNELS:
+            raise ValueError(
+                f"unknown attn_kernel {self.attn_kernel!r}; valid kernels: "
+                f"{sorted(ATTN_KERNELS)}"
+            )
+
+
+# The fused window-attention kernel families (ops/pallas_attn*.py) and which
+# of them carry a custom VJP.  A config naming anything else is a typo that
+# would otherwise silently fall back or die deep inside a Pallas trace.
+ATTN_KERNELS = frozenset(
+    {"base", "packed", "fold", "fold_block", "fold_packed"}
+)
+TRAINABLE_ATTN_KERNELS = frozenset({"base", "fold", "fold_block"})
 
 
 @dataclass(frozen=True)

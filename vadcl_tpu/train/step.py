@@ -226,6 +226,19 @@ def make_train_step(
     (tp.py:shard_windows_call).  The remaining fused kernels ("base",
     "packed" window layouts) are single-device programs with no shard_map
     dispatch — rejected."""
+    from vadcl_tpu.core.config import TRAINABLE_ATTN_KERNELS
+
+    if (
+        cfg.model.fused_attention
+        and cfg.model.attn_kernel not in TRAINABLE_ATTN_KERNELS
+    ):
+        # inference-only kernels have no VJP; without this guard training
+        # with e.g. attn_kernel="packed" dies deep inside JAX instead of at
+        # the config boundary
+        raise ValueError(
+            f"attn_kernel={cfg.model.attn_kernel!r} is inference-only (no "
+            f"custom VJP); trainable kernels: {sorted(TRAINABLE_ATTN_KERNELS)}"
+        )
     if model_axis is not None:
         if mesh is None or model_axis not in mesh.axis_names:
             raise ValueError(

@@ -11,7 +11,9 @@ mode (cluster heads ON, compactness ON — the eval-time configuration of
 ``tool/contrast_evaluae.py:163-165``), scoring 4-frame 224x224 windows exactly
 as the sliding-window evaluator feeds them, bf16 compute, Pallas fused
 window-attention + cluster kernels (the default TPU path of tools/train.py),
-best batch of a small sweep.  The training number times the REAL jitted train
+at batch 128 — the winner of the round-3 on-chip sweep {32..256}, kept as a
+single point because every extra point costs a 40-80 s remote compile
+against the driver's time budget.  The training number times the REAL jitted train
 step (forward + backward + torch-Adam + staged gates) built by
 ``vadcl_tpu.train.step.make_train_step`` — the same function tools/train.py
 runs.
@@ -384,6 +386,20 @@ def measure_eval_protocol(attn_kernel: str = "base"):
             if rate > best:
                 best, best_batch, best_la = rate, bw, lookahead
     attribution["lookahead"] = best_la
+    # Pipeline floor: with decode / transfer / score fully overlapped
+    # (pipeline_videos runs each leg on its own thread), the steady-state
+    # per-video cost is the SLOWEST leg — so the attainable ceiling is the
+    # min of the three leg rates, expressed in windows/sec.  eval_vs_floor
+    # in the headline JSON reads end-to-end delivery against it.
+    if not _SMOKE and "transfer_videos_per_sec" in attribution:
+        videos_per_sec_floor = min(
+            attribution["transfer_videos_per_sec"],
+            attribution["decode_fps"] / t_video,
+            attribution["compute_windows_per_sec"] / n_windows,
+        )
+        attribution["floor_windows_per_sec"] = (
+            videos_per_sec_floor * n_windows
+        )
     return best, best_batch, attribution
 
 
@@ -556,9 +572,26 @@ def measure_chip_calibration():
         a,
     )
     t_cp = timed(lambda x: x + 1, big)
+
+    # host->device link: one device_put of a known-size uint8 buffer (the
+    # wire format of every production input path).  This is the floor under
+    # both e2e numbers — through the axon tunnel the link delivers ~30-35
+    # MB/s, orders of magnitude under a real host's PCIe/DMA, so the floors
+    # ride in the JSON to separate "framework leaves throughput on the
+    # table" from "the link is saturated" (VERDICT r4 item 4).  Content is
+    # mutated per repeat so a memoizing tunnel cannot skip the transfer.
+    link = rng.randint(0, 255, 16 * 1024 * 1024, np.uint8)
+    jax.block_until_ready(jax.device_put(link))  # warm the path
+    t_link = float("inf")
+    for i in range(3):
+        link[i] = (int(link[i]) + 1) % 256
+        t0 = time.time()
+        jax.block_until_ready(jax.device_put(link))
+        t_link = min(t_link, time.time() - t0)
     return {
         "chip_matmul_tflops": 2 * 4096**3 / t_mm / 1e12,
         "chip_copy_gbps": 2 * big.size * 2 / t_cp / 1e9,
+        "link_mbps": link.size / t_link / 1e6,
     }
 
 
@@ -649,6 +682,19 @@ def main():
     def r(x, nd=2):
         return round(x, nd) if isinstance(x, float) and x == x else None
 
+    # Transfer floors (VERDICT r4 item 4): what the measured host->device
+    # link admits for each e2e path, so the JSON itself says whether the
+    # framework or the link binds.  Train ships uint8 clips of
+    # FRAMES*H*W*3 bytes; its e2e ceiling is min(host decode rate, link
+    # rate, device step rate).
+    clip_bytes = FRAMES * H * W * 3
+    link_mbps = calib.get("link_mbps")
+    train_floor = None
+    if link_mbps and loader_rate == loader_rate and train_rate == train_rate:
+        link_clips = link_mbps * 1e6 / clip_bytes
+        train_floor = min(loader_rate, link_clips, train_rate)
+    eval_floor = eval_attr.get("floor_windows_per_sec")
+
     print(
         json.dumps(
             {
@@ -666,11 +712,23 @@ def main():
                 # ClipDataset + HostDataLoader (native decode) -> jitted step
                 "train_e2e_clips_per_sec": r(train_e2e_rate),
                 "train_loader_clips_per_sec": r(loader_rate),
+                # measured ceiling of the e2e path: min(loader, link, step)
+                "train_e2e_floor_clips_per_sec": r(train_floor),
+                "train_e2e_vs_floor": (
+                    r(train_e2e_rate / train_floor)
+                    if train_floor and train_e2e_rate == train_e2e_rate
+                    else None
+                ),
                 # the tools/evaluate.py hot path END TO END: JPEG on disk ->
                 # native decode -> pipelined upload -> device-resident
                 # stride-1 video scorer -> PSNR/AUC
                 "eval_windows_per_sec": r(eval_rate),
                 "eval_batch_windows": eval_bw or None,
+                "eval_vs_floor": (
+                    r(eval_rate / eval_floor)
+                    if eval_floor and eval_rate == eval_rate
+                    else None
+                ),
                 "eval_attribution": {
                     k: r(v) if isinstance(v, float) else v
                     for k, v in eval_attr.items()
@@ -681,6 +739,7 @@ def main():
                 "peak_tflops": peak,
                 "chip_matmul_tflops": r(calib.get("chip_matmul_tflops")),
                 "chip_copy_gbps": r(calib.get("chip_copy_gbps")),
+                "link_mbps": r(calib.get("link_mbps")),
                 "contention_waits": contention_waits,
                 "baseline_basis": _BASELINE_BASIS,
             }

@@ -484,3 +484,46 @@ def test_folded_packed_applicability_gate():
     assert folded_packed_applicable((2, 28, 28), (2, 7, 7), 12)
     # non-divisible dims reject
     assert not folded_packed_applicable((2, 15, 28), (2, 7, 7), 6)
+
+
+@pytest.mark.parametrize("num_heads,expect", [(2, "fold"), (4, "fold"),
+                                              (12, "fold_packed")])
+def test_fold_mix_resolution(num_heads, expect):
+    """``fold_mix`` dispatches per stage geometry: fold at nH<12 (stage-0),
+    fold_packed at nH>=12 (stage-1) — the measured per-geometry winners
+    (docs/PERFORMANCE.md fold_packed A/B).  Every other name is identity."""
+    from vadcl_tpu.models.swin import _resolve_attn_kernel
+
+    assert _resolve_attn_kernel("fold_mix", num_heads) == expect
+    for k in ("base", "packed", "fold", "fold_block", "fold_packed"):
+        assert _resolve_attn_kernel(k, num_heads) == k
+
+
+@pytest.mark.parametrize("num_heads", [2, 12])
+def test_fold_mix_block_matches_fold(num_heads):
+    """A SwinBlock3D under ``fold_mix`` is numerically interchangeable with
+    the same block under the kernel it resolves to (params are shared; only
+    the dispatch differs), at both resolution branches."""
+    import flax.linen as nn
+
+    from vadcl_tpu.models.swin import SwinBlock3D, _resolve_attn_kernel
+
+    C = 16 * num_heads if num_heads == 2 else 8 * num_heads  # 32 / 96
+    ws = (2, 7, 7)
+    D, H, W = 2, 7, 14
+    rng = np.random.RandomState(41)
+    x = jnp.asarray(rng.randn(2, D, H, W, C) * 0.3, jnp.float32)
+
+    def block(ak):
+        return SwinBlock3D(
+            dim=C, num_heads=num_heads, window_size=ws,
+            shift_size=(0, 0, 0), fused=True, attn_kernel=ak,
+        )
+
+    ref_kernel = _resolve_attn_kernel("fold_mix", num_heads)
+    m_mix, m_ref = block("fold_mix"), block(ref_kernel)
+    v = m_ref.init(jax.random.key(0), x)
+    got = m_mix.apply(v, x)
+    want = m_ref.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6,
+                               atol=1e-6)

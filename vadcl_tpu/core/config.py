@@ -105,7 +105,7 @@ class ModelConfig:
 # of them carry a custom VJP.  A config naming anything else is a typo that
 # would otherwise silently fall back or die deep inside a Pallas trace.
 ATTN_KERNELS = frozenset(
-    {"base", "packed", "fold", "fold_block", "fold_packed"}
+    {"base", "packed", "fold", "fold_block", "fold_packed", "fold_mix"}
 )
 TRAINABLE_ATTN_KERNELS = frozenset({"base", "fold", "fold_block"})
 

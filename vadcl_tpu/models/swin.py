@@ -37,6 +37,21 @@ from vadcl_tpu.ops.window import (
 Tri = Tuple[int, int, int]
 
 
+def _resolve_attn_kernel(attn_kernel: str, num_heads: int) -> str:
+    """Resolve the per-geometry composite kernel name.
+
+    ``fold_mix`` (inference-only) dispatches by stage geometry: the
+    head-packed fold kernel's lane-packed dots win only where the packed
+    score tile (N, nH*N) stays MXU-dense — measured on v5e to win at the
+    flagship stage-1 geometry (nH=12, C=192) and lose at stage-0 (nH=6,
+    C=96), see docs/PERFORMANCE.md "fold_packed A/B".  Every other name
+    resolves to itself.
+    """
+    if attn_kernel == "fold_mix":
+        return "fold_packed" if num_heads >= 12 else "fold"
+    return attn_kernel
+
+
 class WindowAttention3D(nn.Module):
     """W-MSA with relative position bias (``model/swin_transformer.py:87-171``).
 
@@ -126,7 +141,9 @@ class WindowAttention3D(nn.Module):
 
                 interp = pallas_interpret()
                 nh, rw = self.num_heads, runtime_window
-                if self.attn_kernel == "fold_packed":
+                if _resolve_attn_kernel(
+                    self.attn_kernel, self.num_heads
+                ) == "fold_packed":
                     # fold layout + head-packed dots (inference-only, no
                     # VJP): heads stay in the lane dim, killing the per-head
                     # relayout copies; LN + residual fold in when ``ln``
@@ -292,9 +309,10 @@ class SwinBlock3D(nn.Module):
         # when: fold kernel selected+applicable, no window padding (zero-pad
         # happens after LN in the reference, so LN cannot be folded across
         # it), and dropout/drop-path are identity
+        _ak = _resolve_attn_kernel(self.attn_kernel, self.num_heads)
         fold_front = (
             self.fused
-            and self.attn_kernel in ("fold", "fold_block", "fold_packed")
+            and _ak in ("fold", "fold_block", "fold_packed")
             and not (pad_d or pad_h or pad_w)
             and (deterministic or (self.drop == 0.0 and self.drop_path == 0.0))
         )
@@ -306,7 +324,7 @@ class SwinBlock3D(nn.Module):
 
             _gate = (
                 folded_packed_applicable
-                if self.attn_kernel == "fold_packed"
+                if _ak == "fold_packed"
                 else folded_attention_applicable
             )
             fold_front = _gate((D, H, W), window_size, self.num_heads)
@@ -338,9 +356,7 @@ class SwinBlock3D(nn.Module):
             * (Wp // window_size[2])
         )
         use_fold = False
-        if self.fused and self.attn_kernel in (
-            "fold", "fold_block", "fold_packed"
-        ):
+        if self.fused and _ak in ("fold", "fold_block", "fold_packed"):
             from vadcl_tpu.ops.pallas_attn_fold import (
                 folded_attention_applicable,
                 folded_packed_applicable,
@@ -348,7 +364,7 @@ class SwinBlock3D(nn.Module):
 
             _gate = (
                 folded_packed_applicable
-                if self.attn_kernel == "fold_packed"
+                if _ak == "fold_packed"
                 else folded_attention_applicable
             )
             use_fold = _gate((Dp, Hp, Wp), window_size, self.num_heads)
@@ -383,7 +399,7 @@ class SwinBlock3D(nn.Module):
             tail_ok = deterministic or (
                 self.drop == 0.0 and self.drop_path == 0.0
             )
-            if tail_ok and self.attn_kernel == "fold_block":
+            if tail_ok and _ak == "fold_block":
                 from vadcl_tpu.ops.pallas_attn_fold import (
                     folded_full_block_applicable,
                 )

@@ -55,16 +55,21 @@ Tri = Tuple[int, int, int]
 # Measured on v5e: a stage-0 row fully unrolled (8 windows, nH=6, N=98)
 # allocates 31.7 MB of scoped vmem — ~13 live (wins*nH, N⌈8⌉, N⌈128⌉) fp32
 # score-size tiles (scores, post-bias copy, probabilities, lane-padded q/k/v
-# stacks and output).  Budget the per-group estimate well under Mosaic's
-# 16 MB scoped-vmem stack.  Both knobs are env-tunable for on-chip A/B:
+# stacks and output).  Both knobs are env-tunable for on-chip A/B:
 # VADCL_ATTN_VMEM_BUDGET_MB sizes the window-group picker,
 # VADCL_ATTN_VMEM_LIMIT_MB raises Mosaic's per-kernel VMEM ceiling to match
 # (v5e has 128 MB physical VMEM; the 16 MB scoped default is conservative).
+# Defaults 24/32 are the round-5 on-chip sweep winner over {12/default,
+# 24/32, 48/64}: bigger window groups (gw 2->4 at stage-0 fwd, 2->4/1->2 at
+# the bwd) amortize group-loop overhead — inference 690->698 clips/s, Swin
+# stage fwd+bwd sum 105.2->101.8 ms at matched chip calibration; 48/64
+# (whole-row groups) gives most of it back (692.7).  docs/PERFORMANCE.md.
 _VMEM_BUDGET = (
-    int(os.environ.get("VADCL_ATTN_VMEM_BUDGET_MB", "12")) * 1024 * 1024
+    int(os.environ.get("VADCL_ATTN_VMEM_BUDGET_MB", "24")) * 1024 * 1024
 )
 _VMEM_LIMIT_BYTES = (
-    int(os.environ.get("VADCL_ATTN_VMEM_LIMIT_MB", "0")) * 1024 * 1024 or None
+    int(os.environ.get("VADCL_ATTN_VMEM_LIMIT_MB", "32")) * 1024 * 1024
+    or None
 )
 _LIVE_TILES = 13
 

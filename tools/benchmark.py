@@ -86,7 +86,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument(
         "--attn-kernel", default="base",
-        choices=("base", "packed", "fold", "fold_block"),
+        choices=("base", "packed", "fold", "fold_block", "fold_packed",
+                 "fold_mix"),
     )
     ap.add_argument("--grad", action="store_true",
                     help="time forward+backward per component")

@@ -71,6 +71,15 @@ def _fused() -> bool:
 # NOT a performance number.
 _SMOKE = os.environ.get("VADCL_BENCH_SMOKE", "") == "1"
 
+_T0 = time.time()
+
+
+def _stage(name: str) -> None:
+    """Timestamped stage marker on stderr so a truncated/timed-out run still
+    shows where the wall-clock went (the shared axon chip's compile+run times
+    swing with neighbors' load)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {name}", file=sys.stderr, flush=True)
+
 
 def compute_flops_cpu() -> dict:
     """--flops mode: pin the CPU backend (the axon plugin's cost_analysis
@@ -607,6 +616,7 @@ def main():
     contention_waits = 0
     calib = {}
     if not _SMOKE:
+        _stage("chip calibration")
         try:
             calib = measure_chip_calibration()
             while (
@@ -621,6 +631,7 @@ def main():
             print(f"chip calibration failed: {e!r}", file=sys.stderr)
             calib = {}
 
+    _stage("attn-kernel pick")
     try:
         picked = pick_attn_kernel()
     except Exception as e:
@@ -632,6 +643,7 @@ def main():
     # report the best — the bench runs once per round, robustness wins.
     attn_kernel, infer_rate = picked, 0.0
     for k in dict.fromkeys([picked, "fold" if not _SMOKE else picked]):
+        _stage(f"inference ({k})")
         rate = measure_inference(k)
         if rate > infer_rate:
             attn_kernel, infer_rate = k, rate
@@ -640,6 +652,7 @@ def main():
     # train-step compiles for a measured-negative comparison.
     train_rate, train_kernel = float("nan"), "base"
     for k in ("fold", "base"):
+        _stage(f"train ({k})")
         try:
             rate = measure_train(k)
         except Exception as e:  # never lose the headline to a train issue
@@ -648,6 +661,7 @@ def main():
         if rate > 0:
             train_rate, train_kernel = rate, k
             break
+    _stage("flops accounting")
     try:
         flops = get_flops()
         infer_flops = flops["infer_flops_per_clip"]
@@ -668,11 +682,13 @@ def main():
     # reference's fp32 eager train step on the same assumed 3.93 TFLOP/s
     # effective, over the same XLA-counted fwd+bwd+Adam FLOPs per clip.
     ref_train_clips = _REF_EFFECTIVE_TFLOPS * 1e12 / train_flops
+    _stage("eval protocol")
     try:
         eval_rate, eval_bw, eval_attr = measure_eval_protocol(attn_kernel)
     except Exception as e:
         print(f"eval-protocol bench failed: {e!r}", file=sys.stderr)
         eval_rate, eval_bw, eval_attr = float("nan"), 0, {}
+    _stage("train e2e")
     try:
         train_e2e_rate, loader_rate = measure_train_e2e(train_kernel)
     except Exception as e:
@@ -695,6 +711,7 @@ def main():
         train_floor = min(loader_rate, link_clips, train_rate)
     eval_floor = eval_attr.get("floor_windows_per_sec")
 
+    _stage("done")
     print(
         json.dumps(
             {
